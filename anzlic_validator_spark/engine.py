@@ -1,0 +1,177 @@
+"""Engine orchestration: DataFrame + rule catalog → violations + verdicts.
+
+Lifecycle mirrors the reference's check() sequence (linz_metadata.py:1956-2101
+and scripts/validate.py:419-458 process loop): rule-catalog pass → schema/
+decode pass → conditional pass → verdict per record, except everything is ONE
+declarative Spark plan:
+
+    row rules    -> a single projection: array(rule_structs) → filter nulls
+                    → explode  (whole-stage codegen, zero shuffle)
+    dataset rules-> uniqueness (salted 2-phase agg), referential (joins),
+                    all_of (grouped collect_set), drift (grid aggregate),
+                    audio_decode (Arrow pandas UDF projection)
+    violations   = UNION ALL of the above
+    verdicts     = keys LEFT JOIN min-rule-order violation   (the reference is
+                   fail-fast with a fixed dispatch order, errorChecker.py:
+                   573-654 — we evaluate everything and rank afterwards)
+
+Violations never fail the job (the reference catches per-record exceptions
+and keeps sweeping, scripts/validate.py:451-458).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anzlic_validator_spark.compile import compile_row_rules
+from anzlic_validator_spark.errors import InvalidConfigException
+from anzlic_validator_spark.rules import Rule, RuleCatalog
+from anzlic_validator_spark.schema import VIOLATION_FIELDS
+
+_INTERNAL_FIELDS = [*VIOLATION_FIELDS, "rule_order"]
+_INTERNAL_SCHEMA = "key string, rule_id string, observed string, expected string, rule_order int"
+
+
+def _empty_violations(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], _INTERNAL_SCHEMA)
+
+
+def row_rule_violations(df: DataFrame, rules: list[Rule], key_col: str) -> DataFrame:
+    """All row-level rules in one codegen'd projection."""
+    structs = compile_row_rules(rules)
+    if not structs:
+        return _empty_violations(df.sparkSession)
+    arr = F.filter(F.array(*structs), lambda v: v.isNotNull())
+    return (
+        df.select(F.col(key_col).cast("string").alias("key"), F.explode(arr).alias("__v"))
+        .select("key", "__v.rule_id", "__v.observed", "__v.expected", "__v.rule_order")
+    )
+
+
+def dataset_rule_violations(
+    df: DataFrame,
+    rule: Rule,
+    key_col: str,
+    refs: dict[str, DataFrame],
+) -> DataFrame:
+    # local imports keep pyspark-light modules importable without the full set
+    from anzlic_validator_spark.operators.drift import drift_violations
+    from anzlic_validator_spark.operators.referential import (
+        referential_mapped_violations,
+        referential_violations,
+    )
+    from anzlic_validator_spark.operators.setcover import all_of_violations
+    from anzlic_validator_spark.operators.uniqueness import unique_violations
+
+    if rule.type == "unique":
+        return unique_violations(df, rule, key_col)
+    if rule.type == "all_of":
+        return all_of_violations(df, rule, key_col)
+    if rule.type == "referential":
+        return referential_violations(df, rule, key_col, refs)
+    if rule.type == "referential_mapped":
+        return referential_mapped_violations(df, rule, key_col, refs)
+    if rule.type == "drift":
+        return drift_violations(df, rule, key_col)
+    if rule.type == "audio_decode":
+        from anzlic_validator_spark.functions.audio import audio_violations
+
+        return audio_violations(df, rule, key_col)
+    raise InvalidConfigException(f"unknown dataset rule type: {rule.type}")
+
+
+@dataclass
+class ValidationResult:
+    """Lazy handles over the validation plan — nothing here triggers a job."""
+
+    df: DataFrame
+    key_col: str
+    catalog: RuleCatalog
+    violations_ranked: DataFrame = field(repr=False)  # + rule_order
+
+    @property
+    def violations(self) -> DataFrame:
+        """Public violation rows (key, rule_id, observed, expected)."""
+        return self.violations_ranked.select(*VIOLATION_FIELDS)
+
+    @property
+    def verdicts(self) -> DataFrame:
+        """Per-record verdict: passed + first violation in catalog order.
+
+        Table-level violations (key='__table__') are excluded from
+        per-record verdicts but present in .violations.
+        """
+        keys = self.df.select(F.col(self.key_col).cast("string").alias("key")).distinct()
+        per_key = (
+            self.violations_ranked.where(F.col("key") != "__table__")
+            .groupBy("key")
+            .agg(
+                F.min(F.struct("rule_order", "rule_id")).alias("__first"),
+                F.count(F.lit(1)).alias("n_violations"),
+            )
+        )
+        return keys.join(per_key, on="key", how="left").select(
+            "key",
+            F.col("__first").isNull().alias("passed"),
+            F.col("__first.rule_id").alias("first_rule_id"),
+            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+        )
+
+    def partition_summary(self, n_buckets: int = 16) -> DataFrame:
+        """Per-partition pass/fail aggregates (north_rule).
+
+        'Partition' is the deterministic hash bucket of the key —
+        independent of physical task layout, so resumed runs agree.
+        """
+        b = F.pmod(F.xxhash64(F.col("key")), F.lit(n_buckets)).alias("bucket")
+        return (
+            self.verdicts.groupBy(b)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum((~F.col("passed")).cast("long")).alias("failed_rows"),
+                F.sum("n_violations").alias("violations"),
+                (F.sum((~F.col("passed")).cast("long")) == 0).alias("passed"),
+            )
+            .orderBy("bucket")
+        )
+
+
+def validate(
+    df: DataFrame,
+    catalog: RuleCatalog,
+    key_col: str,
+    refs: dict[str, DataFrame] | None = None,
+) -> ValidationResult:
+    """Build the full validation plan for ``df`` under ``catalog``."""
+    refs = refs or {}
+    missing = [c for r in catalog.row_rules for c in _rule_columns(r) if c not in df.columns]
+    if missing:
+        raise InvalidConfigException(f"catalog references unknown columns: {sorted(set(missing))}")
+    parts = [row_rule_violations(df, catalog.row_rules, key_col)]
+    for rule in catalog.dataset_rules:
+        parts.append(dataset_rule_violations(df, rule, key_col, refs))
+    violations = parts[0]
+    for p in parts[1:]:
+        violations = violations.unionByName(p)
+    return ValidationResult(
+        df=df, key_col=key_col, catalog=catalog, violations_ranked=violations
+    )
+
+
+def _rule_columns(rule: Rule) -> list[str]:
+    cols = []
+    if rule.get("column"):
+        cols.append(str(rule.get("column")))
+    if isinstance(rule.get("columns"), (list, tuple)):
+        cols.extend(str(c) for c in rule.get("columns"))
+    if rule.type == "conditional":
+        when = rule.get("when") or {}
+        if when.get("column"):
+            cols.append(str(when["column"]))
+        then = rule.get("then") or {}
+        if then.get("column"):
+            cols.append(str(then["column"]))
+    return cols

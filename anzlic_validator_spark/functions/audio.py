@@ -1,0 +1,272 @@
+"""Audio codecs + vectorized decode checks (R18 analog).
+
+Reference analog: XSD schema validation of the whole record
+(SCHMD.validate, scripts/validate.py:127-134) — "is this record structurally
+decodable and internally consistent" — re-expressed for audio rows per
+BASELINE.json input_hint: decode ``bytes`` per ``codec``, assert the decoded
+PCM is allclose to the reference signal at SNR ≥ 30 dB, and that ``sr_hz`` /
+``dur_ms`` agree with the decoded stream.
+
+Codecs (this container has no audio libraries — see module notes):
+- ``pcm_s16le``  raw 16-bit little-endian mono PCM (real, numpy-only)
+- ``wav``        RIFF/WAVE PCM mono 16-bit with a standard 44-byte header
+                 (real, handcrafted per the public RIFF spec)
+- ``flacz``      *STUB* stand-in for FLAC: a deterministic fake container
+                 (magic ``FLCZ`` + sr + n_samples + zlib-compressed s16le).
+                 Real FLAC/Opus decode would slot in here behind the same
+                 interface; marked clearly as a stand-in because libsndfile/
+                 soundfile are not installed in this image.
+
+All checks run as ONE Arrow-vectorized ``pandas_udf`` returning a struct —
+batch transfer via Arrow, numpy kernels inside, no per-row Python at the
+Spark row level (input_hint: "vectorized pandas/Arrow UDFs, no per-row
+Python").  The SNR reference signal is a pure function of (clip index,
+sr, n_samples, seed) so fixtures are reproducible (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anzlic_validator_spark.rules import Rule
+
+KNOWN_CODECS = ("pcm_s16le", "wav", "flacz")
+
+_FLCZ_MAGIC = b"FLCZ"
+_WAV_HDR = struct.Struct("<4sI4s4sIHHIIHH4sI")
+
+
+# ---------------------------------------------------------------- encode
+
+def encode_pcm_s16le(pcm: np.ndarray) -> bytes:
+    return _to_s16(pcm).tobytes()
+
+
+def encode_wav(pcm: np.ndarray, sr: int) -> bytes:
+    data = _to_s16(pcm).tobytes()
+    # standard 44-byte RIFF/WAVE header: PCM(1), mono, 16-bit
+    hdr = _WAV_HDR.pack(
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        sr, sr * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def encode_flacz(pcm: np.ndarray, sr: int) -> bytes:
+    """STUB codec: deterministic fake FLAC container (see module docstring)."""
+    raw = _to_s16(pcm)
+    return _FLCZ_MAGIC + struct.pack("<II", sr, raw.size) + zlib.compress(raw.tobytes(), 6)
+
+
+def encode(pcm: np.ndarray, sr: int, codec: str) -> bytes:
+    if codec == "pcm_s16le":
+        return encode_pcm_s16le(pcm)
+    if codec == "wav":
+        return encode_wav(pcm, sr)
+    if codec == "flacz":
+        return encode_flacz(pcm, sr)
+    raise NotImplementedError(
+        f"codec {codec!r}: real encoders (flac/opus/mp3) are not available in "
+        "this container — only pcm_s16le/wav/flacz are implemented"
+    )
+
+
+def _to_s16(pcm: np.ndarray) -> np.ndarray:
+    return np.clip(np.rint(np.asarray(pcm, dtype=np.float64) * 32767.0), -32768, 32767).astype(
+        "<i2"
+    )
+
+
+# ---------------------------------------------------------------- decode
+
+def decode(b: bytes | None, codec: str | None):
+    """→ (pcm float32 | None, sr_embedded int | None, err str | None).
+
+    sr_embedded is None for headerless codecs (pcm_s16le).
+    """
+    if b is None or len(b) == 0:
+        return None, None, "empty bytes"
+    if codec == "pcm_s16le":
+        if len(b) % 2:
+            return None, None, "odd byte length for s16le"
+        return np.frombuffer(b, dtype="<i2").astype(np.float32) / 32767.0, None, None
+    if codec == "wav":
+        if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None, None, "bad RIFF header"
+        try:
+            fields = _WAV_HDR.unpack(b[:44])
+        except struct.error:
+            return None, None, "short WAV header"
+        audio_fmt, channels, sr, bits = fields[5], fields[6], fields[7], fields[10]
+        data_len = fields[12]
+        if audio_fmt != 1 or channels != 1 or bits != 16:
+            return None, sr, f"unsupported WAV layout fmt={audio_fmt} ch={channels} bits={bits}"
+        data = b[44 : 44 + data_len]
+        if len(data) < data_len or len(data) % 2:
+            return None, sr, "truncated WAV data"
+        return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0, sr, None
+    if codec == "flacz":
+        if b[:4] != _FLCZ_MAGIC or len(b) < 12:
+            return None, None, "bad FLCZ header"
+        sr, n = struct.unpack("<II", b[4:12])
+        try:
+            raw = zlib.decompress(b[12:])
+        except zlib.error as exc:
+            return None, sr, f"FLCZ payload corrupt: {exc}"
+        if len(raw) != n * 2:
+            return None, sr, f"FLCZ sample count mismatch: {len(raw)//2} != {n}"
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0, sr, None
+    return None, None, f"unknown codec {codec!r}"
+
+
+# ------------------------------------------------------- reference signal
+
+def ref_signal(i: int, sr: int, n: int, seed: int) -> np.ndarray:
+    """Deterministic seeded sine+noise reference for clip index ``i``.
+
+    Counter-based Philox keyed by (seed, i): any executor regenerates the
+    exact signal without coordination — the distributed-safe analog of the
+    reference's golden fixture record (tests/testAllCorrect.xml).
+    """
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(seed) ^ np.uint64(i)))
+    t = np.arange(n, dtype=np.float64) / float(sr)
+    freq = 110.0 + (i % 40) * 13.0
+    x = 0.5 * np.sin(2.0 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+    return np.clip(x, -1.0, 1.0).astype(np.float32)
+
+
+def snr_db(ref: np.ndarray, dec: np.ndarray) -> float:
+    n = min(ref.size, dec.size)
+    if n == 0:
+        return float("-inf")
+    r, d = ref[:n].astype(np.float64), dec[:n].astype(np.float64)
+    noise = float(np.sum((r - d) ** 2))
+    sig = float(np.sum(r**2))
+    if noise == 0.0:
+        return float("inf")
+    if sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(sig / noise)
+
+
+_CLIP_ID_NUM = re.compile(r"(\d+)$")
+
+_CHECK_SCHEMA = T.StructType(
+    [
+        T.StructField("err", T.StringType(), True),
+        T.StructField("sr_stream", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("snr_db", T.DoubleType(), True),
+    ]
+)
+
+
+def make_decode_check_udf(ref_seed: int | None):
+    """Arrow pandas UDF: (bytes, codec, sr_hz, clip_id) → check struct.
+
+    ref_seed=None skips the SNR-vs-reference computation (production mode
+    where no golden signal exists; decode + consistency checks still run).
+    """
+
+    @F.pandas_udf(_CHECK_SCHEMA)
+    def decode_check(
+        b: pd.Series, codec: pd.Series, sr_hz: pd.Series, clip_id: pd.Series
+    ) -> pd.DataFrame:
+        n_rows = len(b)
+        errs: list[str | None] = [None] * n_rows
+        srs: list[int | None] = [None] * n_rows
+        counts: list[int | None] = [None] * n_rows
+        snrs: list[float | None] = [None] * n_rows
+        for j in range(n_rows):
+            pcm, sr_emb, err = decode(b.iloc[j], codec.iloc[j])
+            errs[j], srs[j] = err, sr_emb
+            if pcm is None:
+                continue
+            counts[j] = int(pcm.size)
+            if ref_seed is not None:
+                m = _CLIP_ID_NUM.search(str(clip_id.iloc[j]) or "")
+                row_sr = sr_emb if sr_emb else sr_hz.iloc[j]
+                if m and row_sr and not pd.isna(row_sr):
+                    ref = ref_signal(int(m.group(1)), int(row_sr), pcm.size, ref_seed)
+                    snrs[j] = snr_db(ref, pcm)
+        return pd.DataFrame(
+            {"err": errs, "sr_stream": srs, "n_samples": counts, "snr_db": snrs}
+        )
+
+    return decode_check
+
+
+# ------------------------------------------------------------- violations
+
+def audio_violations(df: DataFrame, rule: Rule, key_col: str) -> DataFrame:
+    """Violation rows for the audio_decode rule.
+
+    Classes (each rides the same Arrow batch — one UDF invocation per batch):
+      <id>.decode  bytes not decodable under codec
+      <id>.sr      embedded stream rate ≠ sr_hz column
+      <id>.dur     decoded duration ≠ dur_ms column (± dur_tol_ms)
+      <id>.snr     decoded PCM vs seeded reference below snr_db_min
+    """
+    bytes_col = str(rule.get("bytes_column", "bytes"))
+    codec_col = str(rule.get("codec_column", "codec"))
+    sr_col = str(rule.get("sr_column", "sr_hz"))
+    dur_col = str(rule.get("dur_column", "dur_ms"))
+    snr_min = rule.get("snr_db_min", 30.0)
+    tol = float(rule.get("dur_tol_ms", 2.0))
+    ref_seed = rule.get("ref_seed")
+    udf = make_decode_check_udf(int(ref_seed) if ref_seed is not None else None)
+
+    d = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(sr_col).alias("__sr"),
+        F.col(dur_col).alias("__dur"),
+        F.col(codec_col).alias("__codec"),
+        udf(F.col(bytes_col), F.col(codec_col), F.col(sr_col), F.col(key_col)).alias("c"),
+    )
+    eff_sr = F.coalesce(F.col("c.sr_stream"), F.col("__sr"))
+    dur_dec = F.col("c.n_samples") * 1000.0 / eff_sr
+    rid = rule.rule_id
+
+    def v(cls: str, observed: Column, expected: str) -> Column:
+        return F.struct(
+            F.lit(f"{rid}.{cls}").alias("rule_id"),
+            observed.cast("string").alias("observed"),
+            F.lit(expected).alias("expected"),
+            F.lit(rule.order).cast("int").alias("rule_order"),
+        )
+
+    checks = [
+        F.when(
+            F.col("c.err").isNotNull(),
+            v("decode", F.col("c.err"), "decodable per codec column"),
+        ),
+        F.when(
+            F.col("c.sr_stream").isNotNull() & (F.col("c.sr_stream") != F.col("__sr")),
+            v("sr", F.col("c.sr_stream"), "sr_hz column matches stream"),
+        ),
+        F.when(
+            F.col("c.n_samples").isNotNull()
+            & F.col("__dur").isNotNull()
+            & (F.abs(dur_dec - F.col("__dur")) > F.lit(tol)),
+            v("dur", F.round(dur_dec, 1), f"dur_ms column ±{tol}ms of decoded"),
+        ),
+    ]
+    if ref_seed is not None and snr_min is not None:
+        checks.append(
+            F.when(
+                F.col("c.snr_db").isNotNull() & (F.col("c.snr_db") < F.lit(float(snr_min))),
+                v("snr", F.round(F.col("c.snr_db"), 2), f"SNR>={snr_min}dB vs reference"),
+            )
+        )
+    arr = F.filter(F.array(*checks), lambda x: x.isNotNull())
+    return d.select("key", F.explode(arr).alias("__v")).select(
+        "key", "__v.rule_id", "__v.observed", "__v.expected", "__v.rule_order"
+    )

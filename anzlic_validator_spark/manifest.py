@@ -1,0 +1,130 @@
+"""Checkpoint manifest — resumable validation runs (north_rule; SURVEY §2.8).
+
+Reference semantics being preserved:
+- skip work already done: cache hit short-circuits the fetch
+  (scripts/cache.py:95-102) → completed buckets are filtered out of the scan;
+- persisted success/failure history merged across runs
+  (scripts/resolve.py:150-171,180-187 _merge) → manifest upsert per run;
+- skip-if-no-change (metadata_updater.py:323-338) → a bucket is only skipped
+  if BOTH the rule-catalog hash and the input snapshot fingerprint match;
+- dry-run (metadata_updater.py:395-396) → plan printed, nothing written;
+- immutable outputs / backup-before-mutate (metadata_updater.py:340-347) →
+  a new manifest version is written atomically (tmp + rename), prior runs
+  kept in the run log.
+
+The unit of resume is the deterministic hash bucket of the key
+(pmod(xxhash64(key), n_buckets)) — stable across cluster sizes and physical
+layouts, so a job restarted at 4N executors skips exactly the buckets the
+N-executor run completed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+MANIFEST_NAME = "manifest.json"
+
+
+def input_snapshot(paths: list[str]) -> str:
+    """Fingerprint of the input files (path, size, mtime) — the parquet-dir
+    stand-in for an Iceberg snapshot id."""
+    entries = []
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    if f.startswith(("_", ".")):
+                        continue
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    entries.append((fp, st.st_size, int(st.st_mtime)))
+        elif os.path.exists(p):
+            st = os.stat(p)
+            entries.append((p, st.st_size, int(st.st_mtime)))
+    return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]
+
+
+@dataclass
+class Manifest:
+    path: str
+    n_buckets: int = 16
+    doc: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, out_dir: str, n_buckets: int = 16) -> "Manifest":
+        path = os.path.join(out_dir, MANIFEST_NAME)
+        doc: dict[str, Any] = {"version": 1, "buckets": {}, "runs": []}
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as fh:
+                doc = json.load(fh)
+            if doc.get("n_buckets") not in (None, n_buckets):
+                raise ValueError(
+                    f"manifest at {path} was built with n_buckets={doc.get('n_buckets')}, "
+                    f"got {n_buckets} — bucket ids would not line up"
+                )
+        doc["n_buckets"] = n_buckets
+        return cls(path=path, n_buckets=n_buckets, doc=doc)
+
+    def pending_buckets(self, rule_versions: str, snapshot_id: str) -> list[int]:
+        """Buckets needing (re)validation: not complete, or completed under a
+        different rule catalog / input snapshot (I3 skip-if-no-change)."""
+        done = {
+            int(b)
+            for b, e in self.doc["buckets"].items()
+            if e.get("status") == "complete"
+            and e.get("rule_versions") == rule_versions
+            and e.get("snapshot_id") == snapshot_id
+        }
+        return [b for b in range(self.n_buckets) if b not in done]
+
+    def record_run(
+        self,
+        run_id: str,
+        rule_versions: str,
+        snapshot_id: str,
+        files: list[str],
+        bucket_metrics: dict[int, dict[str, Any]],
+        wall_clock_s: float,
+    ) -> None:
+        for b, m in bucket_metrics.items():
+            self.doc["buckets"][str(b)] = {
+                "status": "complete",
+                "rule_versions": rule_versions,
+                "snapshot_id": snapshot_id,
+                "files": files,
+                "rows": m.get("rows", 0),
+                "failed_rows": m.get("failed_rows", 0),
+                "violations": m.get("violations", 0),
+                "passed": m.get("passed", True),
+                "run_id": run_id,
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        self.doc["runs"].append(
+            {
+                "run_id": run_id,
+                "rule_versions": rule_versions,
+                "snapshot_id": snapshot_id,
+                "buckets": sorted(bucket_metrics),
+                "rows": int(sum(m.get("rows", 0) for m in bucket_metrics.values())),
+                "violations": int(sum(m.get("violations", 0) for m in bucket_metrics.values())),
+                "wall_clock_s": round(wall_clock_s, 3),
+            }
+        )
+        self._write()
+
+    def _write(self) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path), prefix=".manifest-")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                json.dump(self.doc, fh, indent=2, sort_keys=True)
+            os.replace(tmp, self.path)  # atomic — prior manifest never half-written
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)

@@ -1,0 +1,176 @@
+"""spark-submit entry point — the batch sweep (north_rule).
+
+The Spark re-expression of the reference's CLI batch path
+(scripts/validate.py:419-484 process/main: getopt flags → source select →
+schema once → per-layer validate loop → per-layer verdict lines), with the
+updater's resume/dry-run semantics (metadata_updater.py:364-465) supplied by
+the checkpoint manifest.
+
+Usage (local parquet stand-in for the Iceberg table):
+
+    spark-submit --py-files anzlic_validator_spark.zip \
+        -m anzlic_validator_spark.run            # or python -m ...
+        --input /data/clips_parquet \
+        --rules configs/rules_default.yaml \
+        --ref transcript_index=/data/index_parquet \
+        --output /out/run1 [--n-buckets 64] [--dry-run] [--key clip_id]
+
+Outputs under --output:
+    violations/   parquet (key, rule_id, observed, expected), partitioned by bucket
+    verdicts/     parquet (key, passed, first_rule_id, n_violations), partitioned by bucket
+    manifest.json checkpoint: per-bucket lineage (snapshot id, file list,
+                  rule versions) + metrics (rows, violations, wall-clock)
+
+A rerun with the same catalog + input skips completed buckets; changing
+either revalidates only what changed semantics require (everything, since
+both are global fingerprints — per-bucket snapshots arrive with real Iceberg
+partition metadata).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anzlic_validator_spark.engine import validate
+from anzlic_validator_spark.manifest import Manifest, input_snapshot
+from anzlic_validator_spark.rules import load_catalog
+from anzlic_validator_spark.sources.tables import read_clips
+
+
+def bucket_col(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def run_validation(
+    spark: SparkSession,
+    df: DataFrame,
+    catalog_path: str,
+    output: str,
+    key_col: str = "clip_id",
+    refs: dict[str, DataFrame] | None = None,
+    n_buckets: int = 16,
+    dry_run: bool = False,
+    input_paths: list[str] | None = None,
+) -> dict:
+    """Programmatic core of the CLI — returns the run summary dict."""
+    catalog = load_catalog(catalog_path)
+    rule_versions = catalog.catalog_hash()
+    snapshot_id = input_snapshot(input_paths or [])
+    manifest = Manifest.load(output, n_buckets=n_buckets)
+    pending = manifest.pending_buckets(rule_versions, snapshot_id)
+    summary = {
+        "run_id": uuid.uuid4().hex[:12],
+        "rule_versions": rule_versions,
+        "snapshot_id": snapshot_id,
+        "n_buckets": n_buckets,
+        "pending_buckets": pending,
+        "skipped_buckets": sorted(set(range(n_buckets)) - set(pending)),
+        "dry_run": dry_run,
+    }
+    if dry_run or not pending:
+        return summary
+
+    t0 = time.monotonic()
+    df = df.withColumn("bucket", bucket_col(key_col, n_buckets))
+    if len(pending) < n_buckets:
+        # resume: completed buckets pruned BEFORE any rule work — the
+        # cache-hit short-circuit of the reference (cache.py:95-102)
+        df = df.where(F.col("bucket").isin(pending))
+
+    result = validate(df, catalog, key_col=key_col, refs=refs)
+
+    # only the touched buckets are overwritten; completed ones stay intact
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    b = bucket_col("key", n_buckets).alias("bucket")
+    (
+        result.violations.withColumn("bucket", b)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{output}/violations")
+    )
+    (
+        result.verdicts.withColumn("bucket", b)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{output}/verdicts")
+    )
+    metrics_rows = result.partition_summary(n_buckets=n_buckets).collect()
+    wall = time.monotonic() - t0
+    bucket_metrics = {
+        int(r.bucket): {
+            "rows": int(r.rows),
+            "failed_rows": int(r.failed_rows),
+            "violations": int(r.violations),
+            "passed": bool(r.passed),
+        }
+        for r in metrics_rows
+    }
+    # buckets with zero rows still count as validated
+    for bkt in pending:
+        bucket_metrics.setdefault(bkt, {"rows": 0, "failed_rows": 0, "violations": 0, "passed": True})
+    manifest.record_run(
+        summary["run_id"], rule_versions, snapshot_id, input_paths or [], bucket_metrics, wall
+    )
+    summary["wall_clock_s"] = round(wall, 3)
+    summary["rows"] = sum(m["rows"] for m in bucket_metrics.values())
+    summary["violations"] = sum(m["violations"] for m in bucket_metrics.values())
+    summary["failed_rows"] = sum(m["failed_rows"] for m in bucket_metrics.values())
+    return summary
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Rule-catalog validation sweep over a clips table")
+    ap.add_argument("--input", required=True, help="clips table path (parquet dir or Iceberg table)")
+    ap.add_argument("--rules", required=True, help="rule catalog YAML/JSON")
+    ap.add_argument("--output", required=True, help="output dir (violations/, verdicts/, manifest.json)")
+    ap.add_argument("--key", default="clip_id")
+    ap.add_argument("--ref", action="append", default=[], metavar="NAME=PATH",
+                    help="authority table for referential rules (repeatable)")
+    ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--dry-run", action="store_true", help="print plan, write nothing")
+    args = ap.parse_args(argv)
+
+    spark = (
+        SparkSession.builder.appName("anzlic_validator_spark.run")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        refs = {}
+        for spec in args.ref:
+            name, _, path = spec.partition("=")
+            if not path:
+                ap.error(f"--ref must be NAME=PATH, got {spec!r}")
+            refs[name] = spark.read.parquet(path)
+        df = read_clips(spark, args.input)
+        summary = run_validation(
+            spark,
+            df,
+            catalog_path=args.rules,
+            output=args.output,
+            key_col=args.key,
+            refs=refs,
+            n_buckets=args.n_buckets,
+            dry_run=args.dry_run,
+            input_paths=[args.input],
+        )
+        import json as _json
+
+        print(_json.dumps(summary, indent=2, sort_keys=True))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,153 @@
+"""Row-rule compiler + engine — fixture-category semantics mirror
+tests/test_errorCheck.py: correct → no violations; each category → exactly
+its violation class (MetadataNone/Empty/Incorrect ≙ .missing/.empty/.incorrect)."""
+
+import pytest
+from pyspark.sql import Row
+
+from anzlic_validator_spark.engine import validate
+from anzlic_validator_spark.rules import parse_catalog
+
+
+def _viol_map(result):
+    rows = result.violations.collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.key, []).append((r.rule_id, r.observed, r.expected))
+    return out
+
+
+@pytest.fixture(scope="module")
+def demo_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(k="ok", name="alice", kind="a", n=5, note="hello world", alt=None),
+            Row(k="null_name", name=None, kind="a", n=5, note="hello", alt=None),
+            Row(k="empty_name", name="  ", kind="a", n=5, note="hello", alt=None),
+            Row(k="bad_kind", name="bob", kind="z", n=5, note="hello", alt=None),
+            Row(k="big_n", name="carol", kind="b", n=99, note="hello", alt=None),
+            Row(k="no_token", name="dave", kind="a", n=5, note="goodbye", alt=None),
+            Row(k="both_set", name="erin", kind="a", n=5, note="hello", alt="x"),
+            Row(k="cond_hit", name="fred", kind="c", n=3, note="hello", alt=None),
+        ]
+    )
+
+
+CATALOG = {
+    "rules": [
+        {"id": "name.exists", "type": "exists", "column": "name"},
+        {"id": "kind.in_set", "type": "in_set", "column": "kind", "values": ["a", "b", "c"]},
+        {"id": "n.range", "type": "range", "column": "n", "min": 0, "max": 50},
+        {"id": "note.contains", "type": "contains", "column": "note", "values": ["hello"]},
+        {"id": "xor", "type": "not_both", "columns": ["name", "alt"]},
+        {
+            "id": "cond",
+            "type": "conditional",
+            "when": {"column": "kind", "equals": "c"},
+            "then": {"type": "range", "column": "n", "min": 4},
+        },
+    ]
+}
+
+
+def test_row_rules_fire_per_category(spark, demo_df):
+    res = validate(demo_df, parse_catalog(CATALOG), key_col="k")
+    v = _viol_map(res)
+    assert "ok" not in v
+    assert v["null_name"] == [("name.exists.missing", "None", "present and non-empty")]
+    assert v["empty_name"] == [("name.exists.empty", "''", "present and non-empty")]
+    assert v["bad_kind"] == [("kind.in_set.incorrect", "z", "one of [a,b,c]")]
+    assert v["big_n"] == [("n.range.incorrect", "99", "in [0,50]")]
+    assert v["no_token"] == [("note.contains.incorrect", "goodbye", "contains [hello]")]
+    assert ("xor.incorrect", "erin,x", "not both name and alt") in v["both_set"]
+    assert v["cond_hit"] == [("cond.incorrect", "3", "in [4,None]")]
+
+
+def test_verdicts_first_rule_in_catalog_order(spark, demo_df):
+    res = validate(demo_df, parse_catalog(CATALOG), key_col="k")
+    verdicts = {r.key: r for r in res.verdicts.collect()}
+    assert verdicts["ok"].passed and verdicts["ok"].first_rule_id is None
+    assert not verdicts["null_name"].passed
+    assert verdicts["null_name"].first_rule_id == "name.exists.missing"
+    # both_set violates only xor; first = xor
+    assert verdicts["both_set"].first_rule_id == "xor.incorrect"
+    assert verdicts["both_set"].n_violations == 1
+
+
+def test_fail_fast_ranking_multi_violation(spark):
+    # a row violating several rules: headline verdict = min catalog order
+    df = spark.createDataFrame(
+        [("multi", None, "z", 99, "x", None)],
+        "k string, name string, kind string, n long, note string, alt string",
+    )
+    res = validate(df, parse_catalog(CATALOG), key_col="k")
+    verd = res.verdicts.collect()[0]
+    assert verd.n_violations == 4
+    assert verd.first_rule_id == "name.exists.missing"
+
+
+def test_allow_none_and_empty_modifiers(spark):
+    df = spark.createDataFrame([Row(k="a", v=None), Row(k="b", v=" "), Row(k="c", v="bad")])
+    cat = parse_catalog(
+        {
+            "rules": [
+                {
+                    "id": "v.val",
+                    "type": "value",
+                    "column": "v",
+                    "value": "good",
+                    "allow_none": True,
+                    "allow_empty": True,
+                }
+            ]
+        }
+    )
+    v = _viol_map(validate(df, cat, key_col="k"))
+    assert set(v) == {"c"}
+    assert v["c"] == [("v.val.incorrect", "bad", "good")]
+
+
+def test_empty_scan_and_equal_fields(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="ok", a="x", b="x", c="y"),
+            Row(k="blank_c", a="x", b="x", c=""),
+            Row(k="uneq", a="x", b="z", c="y"),
+        ]
+    )
+    cat = parse_catalog(
+        {
+            "rules": [
+                {"id": "scan", "type": "empty_scan", "columns": ["a", "b", "c"]},
+                {"id": "eq", "type": "equal_fields", "columns": ["a", "b"]},
+            ]
+        }
+    )
+    v = _viol_map(validate(df, cat, key_col="k"))
+    assert v["blank_c"] == [("scan.c.empty", "''", "non-empty")]
+    assert v["uneq"] == [("eq.incorrect", "x,z", "all equal: a,b")]
+
+
+def test_unknown_column_rejected(spark, demo_df):
+    from anzlic_validator_spark.errors import InvalidConfigException
+
+    with pytest.raises(InvalidConfigException, match="unknown columns"):
+        validate(demo_df, parse_catalog({"rules": [{"type": "exists", "column": "nope"}]}), "k")
+
+
+def test_format_rule(spark):
+    df = spark.createDataFrame([Row(k="g", d="2020-01-02"), Row(k="b", d="2020/01/02")])
+    cat = parse_catalog(
+        {
+            "rules": [
+                {
+                    "id": "date.fmt",
+                    "type": "format",
+                    "column": "d",
+                    "pattern": r"^\d{4}(-\d{2}(-\d{2})?)?$",
+                }
+            ]
+        }
+    )
+    v = _viol_map(validate(df, cat, key_col="k"))
+    assert set(v) == {"b"}
