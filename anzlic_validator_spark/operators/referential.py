@@ -28,16 +28,24 @@ from anzlic_validator_spark.rules import Rule
 
 def _prep(df: DataFrame, ref: DataFrame, rule: Rule, key_col: str):
     key = str(rule.get("key", key_col))
+    # join_on lets FK-style lookups join on the FK column while reporting
+    # violations against the record key (default: join on the key itself,
+    # the clip_id↔clip_id shape of the transcript index)
+    join_on = str(rule.get("join_on", key))
     col = str(rule.get("column"))
     ref_key = str(rule.get("ref_key"))
     ref_col = str(rule.get("ref_column"))
-    left = df.select(F.col(key).alias("__k"), F.col(col).cast("string").alias("__v"))
+    left = df.select(
+        F.col(key).alias("__k"),
+        F.col(join_on).alias("__j"),
+        F.col(col).cast("string").alias("__v"),
+    )
     right = ref.select(
-        F.col(ref_key).alias("__k"), F.col(ref_col).cast("string").alias("__ref")
+        F.col(ref_key).alias("__j"), F.col(ref_col).cast("string").alias("__ref")
     )
     if rule.get("broadcast", False):
         right = F.broadcast(right)
-    return left.join(right, on="__k", how="left"), col
+    return left.join(right, on="__j", how="left"), col
 
 
 def referential_violations(

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale doctrine:
+- brute_force_topk: exact cosine top-k — the correctness baseline. The
+  query set is broadcast (it's small by construction); the scan side streams
+  through one projection + a per-query-partition window. Dot products are
+  Catalyst ``zip_with``/``aggregate`` folds in codegen — no Python.
+- lsh_topk: sign-random-projection (SRP) bucketed approximate top-k — the
+  100 TB path. Each vector lands in one bucket per hash table; candidates
+  are scored only within shared buckets, cutting the scored pairs from
+  n·q to ~n·q/2^bits per table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query → (q_id, neighbor_id, rank, sim).
+
+    Ties broken by neighbor_id so output is fully deterministic.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__vn", l2_norm(F.col("__v")))
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"),
+        F.col(query_vec_col).cast("array<double>").alias("__q"),
+    ).withColumn("__qn", l2_norm(F.col("__q")))
+    sim = dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", sim.alias("__sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("__sim", 4).alias("sim"))
+    )
+
+
+def srp_hash(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane, all Catalyst."""
+    bits = []
+    for j, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(vec, arr) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _planes(dim: int, bits: int, table: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(seed) + np.uint64(table)))
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+    k: int = 5,
+    bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via SRP-LSH buckets → same schema as
+    brute_force_topk. Recall grows with n_tables; cost shrinks with bits."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__vn", l2_norm(F.col("__v")))
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"),
+        F.col(query_vec_col).cast("array<double>").alias("__q"),
+    ).withColumn("__qn", l2_norm(F.col("__q")))
+
+    c_buckets = []
+    q_buckets = []
+    for t in range(n_tables):
+        planes = _planes(dim, bits, t, seed)
+        c_buckets.append(
+            c.select(
+                "neighbor_id", "__v", "__vn",
+                F.lit(t).alias("tbl"), srp_hash(F.col("__v"), planes).alias("bkt"),
+            )
+        )
+        q_buckets.append(
+            q.select(
+                "q_id", "__q", "__qn",
+                F.lit(t).alias("tbl"), srp_hash(F.col("__q"), planes).alias("bkt"),
+            )
+        )
+    cb = c_buckets[0]
+    for x in c_buckets[1:]:
+        cb = cb.unionByName(x)
+    qb = q_buckets[0]
+    for x in q_buckets[1:]:
+        qb = qb.unionByName(x)
+
+    sim = dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn"))
+    scored = (
+        cb.join(F.broadcast(qb), on=["tbl", "bkt"], how="inner")
+        .where(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", sim.alias("__sim"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.first("__sim").alias("__sim"))  # dedup across tables
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("__sim", 4).alias("sim"))
+    )

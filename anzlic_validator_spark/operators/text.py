@@ -1,0 +1,73 @@
+"""Text-analysis operators: token stats, language ID, quality scoring,
+content fingerprinting.
+
+All pure Catalyst (split/filter/aggregate lambdas run in codegen) — these
+feed the rule catalog (e.g. quality-score range rules) and the profile pass
+over a documents table at training-data scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anzlic_validator_spark.operators.dedup import text_fingerprint
+
+# tiny built-in stopword lists for the n-gram/stopword language heuristic;
+# extend per deployment (kept deliberately small + deterministic)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def predict_language(col: Column, threshold: float = 0.05) -> Column:
+    """Pick the language whose stopword ratio is highest (and above the
+    threshold); 'unk' otherwise."""
+    ratios = {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
+    best_lang = F.lit("unk")
+    best_ratio = F.lit(float(threshold))
+    # deterministic order: iterate sorted lang codes
+    for lang in sorted(ratios):
+        better = ratios[lang] > best_ratio
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_ratio = F.when(better, ratios[lang]).otherwise(best_ratio)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features → one row per doc.
+
+    (id, n_tokens, n_distinct, distinct_ratio, avg_tok_len, fingerprint)
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_dis = distinct_token_count(t)
+    chars = F.length(F.regexp_replace(t, " ", ""))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.round(n_dis.cast("double") / n_tok.cast("double"), 4).alias("distinct_ratio"),
+        F.round(chars.cast("double") / n_tok.cast("double"), 4).alias("avg_tok_len"),
+        text_fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,344 @@
+"""Driver-checkable demo queries over the TESTDATA tables.
+
+Each entry exercises an operator family from SURVEY §2 through the real
+engine (validation rules) or the training-data operators, paired with an
+ANSI-SQL oracle that DuckDB runs on the same parquet — the driver compares
+row counts, schemas and order-insensitive value hashes at sf0.01
+(see /root/repo/__spark_entry__.py).
+
+Naming discipline: every computed column is aliased identically in the Spark
+plan and the oracle SQL (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from anzlic_validator_spark.engine import validate
+from anzlic_validator_spark.operators.drift import ks_distance_df
+from anzlic_validator_spark.operators.profile import profile, value_histogram
+from anzlic_validator_spark.rules import parse_catalog
+from anzlic_validator_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# validation: row rules over lineitem (R1/R3/R4/R11/R17 analog)
+# --------------------------------------------------------------------------
+
+LINEITEM_CATALOG = {
+    "rules": [
+        {"id": "rf", "type": "in_set", "column": "l_returnflag", "values": ["A", "N"]},
+        {"id": "qty", "type": "range", "column": "l_quantity", "min": 1, "max": 40},
+        {"id": "ls", "type": "format", "column": "l_linestatus", "pattern": "^[OF]$"},
+        {
+            "id": "cond",
+            "type": "conditional",
+            "when": {"column": "l_returnflag", "equals": "R"},
+            "then": {"type": "value", "column": "l_linestatus", "value": "F"},
+        },
+    ]
+}
+
+
+def q_lineitem_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "li_key", F.concat_ws("-", "l_orderkey", "l_linenumber")
+    )
+    res = validate(li, parse_catalog(LINEITEM_CATALOG), key_col="li_key")
+    return res.violations
+
+
+SQL_LINEITEM_RULES = """
+WITH li AS (
+  SELECT l_orderkey || '-' || l_linenumber AS key, * FROM lineitem
+)
+SELECT key, 'rf.incorrect' AS rule_id, l_returnflag AS observed,
+       'one of [A,N]' AS expected
+FROM li WHERE l_returnflag NOT IN ('A','N')
+UNION ALL
+SELECT key, 'qty.incorrect', CAST(l_quantity AS VARCHAR), 'in [1,40]'
+FROM li WHERE l_quantity < 1 OR l_quantity > 40
+UNION ALL
+SELECT key, 'ls.incorrect', l_linestatus, 'matches ^[OF]$'
+FROM li WHERE NOT regexp_matches(l_linestatus, '^[OF]$')
+UNION ALL
+SELECT key, 'cond.incorrect', l_linestatus, 'F'
+FROM li WHERE l_returnflag = 'R' AND l_linestatus <> 'F'
+"""
+
+# --------------------------------------------------------------------------
+# validation: verdicts — fail-fast headline per record (errorChecker dispatch)
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "li_key", F.concat_ws("-", "l_orderkey", "l_linenumber")
+    )
+    res = validate(li, parse_catalog(LINEITEM_CATALOG), key_col="li_key")
+    return res.verdicts.select(
+        "key",
+        F.col("passed").cast("int").alias("passed"),
+        F.coalesce("first_rule_id", F.lit("")).alias("first_rule_id"),
+        "n_violations",
+    )
+
+
+SQL_LINEITEM_VERDICTS = """
+-- NOTE: the generated lineitem has duplicate (orderkey, linenumber) pairs,
+-- so verdicts (one per distinct key) use DISTINCT keys as the base set.
+WITH li AS (
+  SELECT l_orderkey || '-' || l_linenumber AS key, * FROM lineitem
+),
+k AS (
+  SELECT DISTINCT key FROM li
+),
+v AS (
+  SELECT key, rule_id, ord FROM (
+    SELECT key, 'rf.incorrect' AS rule_id, 0 AS ord FROM li WHERE l_returnflag NOT IN ('A','N')
+    UNION ALL
+    SELECT key, 'qty.incorrect', 1 FROM li WHERE l_quantity < 1 OR l_quantity > 40
+    UNION ALL
+    SELECT key, 'ls.incorrect', 2 FROM li WHERE NOT regexp_matches(l_linestatus, '^[OF]$')
+    UNION ALL
+    SELECT key, 'cond.incorrect', 3 FROM li WHERE l_returnflag = 'R' AND l_linestatus <> 'F'
+  )
+)
+SELECT k.key,
+       CAST(CASE WHEN f.key IS NULL THEN 1 ELSE 0 END AS INT) AS passed,
+       COALESCE(f.first_rule_id, '') AS first_rule_id,
+       COALESCE(f.n_violations, 0) AS n_violations
+FROM k
+LEFT JOIN (
+  -- tiebreak mirrors Spark's min(struct(rule_order, rule_id))
+  SELECT key,
+         min_by(rule_id, lpad(CAST(ord AS VARCHAR), 3, '0') || '|' || rule_id) AS first_rule_id,
+         count(*) AS n_violations
+  FROM v GROUP BY key
+) f USING (key)
+"""
+
+# --------------------------------------------------------------------------
+# uniqueness (R10/R19): orders sharing a customer — salted dup detection
+# --------------------------------------------------------------------------
+
+
+def q_unique_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cat = parse_catalog({"rules": [{"id": "ck", "type": "unique", "columns": ["o_custkey"]}]})
+    return validate(orders, cat, key_col="o_orderkey").violations
+
+
+SQL_UNIQUE_CUSTKEY = """
+WITH d AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 1
+)
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+       'ck.incorrect' AS rule_id,
+       'count=' || n AS observed,
+       'unique (o_custkey)' AS expected
+FROM orders JOIN d USING (o_custkey)
+"""
+
+# --------------------------------------------------------------------------
+# referential (R13): orders → customer authority with a hole punched in it
+# --------------------------------------------------------------------------
+
+
+def q_ref_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") != "BUILDING")
+    cat = parse_catalog(
+        {
+            "rules": [
+                {
+                    "id": "fk",
+                    "type": "referential",
+                    "column": "o_custkey",
+                    "key": "o_orderkey",
+                    "join_on": "o_custkey",
+                    "ref_table": "cust",
+                    "ref_key": "c_custkey",
+                    "ref_column": "c_custkey",
+                }
+            ]
+        }
+    )
+    return validate(orders, cat, key_col="o_orderkey", refs={"cust": cust}).violations
+
+
+SQL_REF_MISSING = """
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+       'fk.missing_ref' AS rule_id,
+       CAST(o_custkey AS VARCHAR) AS observed,
+       'reference row for o_custkey' AS expected
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment <> 'BUILDING')
+"""
+
+# --------------------------------------------------------------------------
+# referential_mapped (R14): nation → region name→key mapping (AFRICA broken
+# on purpose so the mismatch class fires)
+# --------------------------------------------------------------------------
+
+_REGION_MAP = {"AFRICA": "9", "AMERICA": "1", "ASIA": "2", "EUROPE": "3", "MIDDLE EAST": "4"}
+
+
+def q_ref_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cat = parse_catalog(
+        {
+            "rules": [
+                {
+                    "id": "rg",
+                    "type": "referential_mapped",
+                    "column": "n_regionkey",
+                    "key": "n_regionkey",
+                    "ref_table": "region",
+                    "ref_key": "r_regionkey",
+                    "ref_column": "r_name",
+                    "mapping": _REGION_MAP,
+                }
+            ]
+        }
+    )
+    return validate(nation, cat, key_col="n_regionkey", refs={"region": region}).violations
+
+
+SQL_REF_MAPPED = """
+SELECT CAST(n_regionkey AS VARCHAR) AS key,
+       'rg.incorrect' AS rule_id,
+       CAST(n_regionkey AS VARCHAR) AS observed,
+       m.v AS expected
+FROM nation
+JOIN region ON n_regionkey = r_regionkey
+JOIN (VALUES ('AFRICA','9'),('AMERICA','1'),('ASIA','2'),('EUROPE','3'),('MIDDLE EAST','4')) m(k,v)
+  ON r_name = m.k
+WHERE CAST(n_regionkey AS VARCHAR) <> m.v
+"""
+
+# --------------------------------------------------------------------------
+# all_of set cover (R7/R8): orders that never reached both linestatuses
+# --------------------------------------------------------------------------
+
+
+def q_all_of_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cat = parse_catalog(
+        {
+            "rules": [
+                {
+                    "id": "st",
+                    "type": "all_of",
+                    "column": "l_linestatus",
+                    "values": ["O", "F"],
+                    "group_by": ["l_orderkey"],
+                }
+            ]
+        }
+    )
+    return validate(li, cat, key_col="l_orderkey").violations
+
+
+SQL_ALL_OF_STATUS = """
+SELECT CAST(l_orderkey AS VARCHAR) AS key,
+       'st.incorrect' AS rule_id,
+       'Missing [' || CASE
+         WHEN NOT bool_or(l_linestatus = 'F') AND NOT bool_or(l_linestatus = 'O') THEN 'F,O'
+         WHEN NOT bool_or(l_linestatus = 'F') THEN 'F'
+         ELSE 'O' END || ']' AS observed,
+       'all of [O,F]' AS expected
+FROM lineitem
+GROUP BY l_orderkey
+HAVING NOT (bool_or(l_linestatus = 'O') AND bool_or(l_linestatus = 'F'))
+"""
+
+# --------------------------------------------------------------------------
+# drift: KS distance of l_quantity vs a fixed baseline grid
+# --------------------------------------------------------------------------
+
+_KS_PROBS = [0.25, 0.5, 0.75]
+_KS_QUANTILES = [13.0, 25.0, 38.0]
+
+
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return ks_distance_df(li, "l_quantity", _KS_PROBS, _KS_QUANTILES).select(
+        F.round("ks", 6).alias("ks")
+    )
+
+
+SQL_DRIFT_KS = """
+SELECT round(greatest(
+  abs(avg(CASE WHEN l_quantity <= 13.0 THEN 1.0 ELSE 0.0 END) - 0.25),
+  abs(avg(CASE WHEN l_quantity <= 25.0 THEN 1.0 ELSE 0.0 END) - 0.5),
+  abs(avg(CASE WHEN l_quantity <= 38.0 THEN 1.0 ELSE 0.0 END) - 0.75)
+), 6) AS ks
+FROM lineitem
+"""
+
+# --------------------------------------------------------------------------
+# profile (A2): single-pass per-column stats (exact flavor for the oracle)
+# --------------------------------------------------------------------------
+
+_PROFILE_STATS = ("n", "nulls", "distinct", "min", "max")
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = profile(li, ["l_quantity", "l_extendedprice", "l_returnflag"], approx=False)
+    return prof.where(F.col("stat").isin(*_PROFILE_STATS)).select(
+        "column", "stat", F.round("value", 4).alias("value")
+    )
+
+
+SQL_PROFILE_LINEITEM = """
+WITH s AS (
+  SELECT
+    count(*)::DOUBLE AS q_n, sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::DOUBLE AS q_nulls,
+    count(DISTINCT l_quantity)::DOUBLE AS q_d, min(l_quantity)::DOUBLE AS q_min, max(l_quantity)::DOUBLE AS q_max,
+    count(*)::DOUBLE AS p_n, sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::DOUBLE AS p_nulls,
+    count(DISTINCT l_extendedprice)::DOUBLE AS p_d, min(l_extendedprice)::DOUBLE AS p_min, max(l_extendedprice)::DOUBLE AS p_max,
+    count(*)::DOUBLE AS r_n, sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::DOUBLE AS r_nulls,
+    count(DISTINCT l_returnflag)::DOUBLE AS r_d
+  FROM lineitem
+)
+SELECT 'l_quantity' AS "column", 'n' AS stat, round(q_n,4) AS value FROM s
+UNION ALL SELECT 'l_quantity','nulls',round(q_nulls,4) FROM s
+UNION ALL SELECT 'l_quantity','distinct',round(q_d,4) FROM s
+UNION ALL SELECT 'l_quantity','min',round(q_min,4) FROM s
+UNION ALL SELECT 'l_quantity','max',round(q_max,4) FROM s
+UNION ALL SELECT 'l_extendedprice','n',round(p_n,4) FROM s
+UNION ALL SELECT 'l_extendedprice','nulls',round(p_nulls,4) FROM s
+UNION ALL SELECT 'l_extendedprice','distinct',round(p_d,4) FROM s
+UNION ALL SELECT 'l_extendedprice','min',round(p_min,4) FROM s
+UNION ALL SELECT 'l_extendedprice','max',round(p_max,4) FROM s
+UNION ALL SELECT 'l_returnflag','n',round(r_n,4) FROM s
+UNION ALL SELECT 'l_returnflag','nulls',round(r_nulls,4) FROM s
+UNION ALL SELECT 'l_returnflag','distinct',round(r_d,4) FROM s
+"""
+
+# --------------------------------------------------------------------------
+# histograms (A1): value-frequency lists
+# --------------------------------------------------------------------------
+
+
+def q_hist_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram(load_table(spark, sf_dir, "lineitem"), "l_returnflag")
+
+
+SQL_HIST_RETURNFLAG = """
+SELECT CAST(l_returnflag AS VARCHAR) AS value, count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_hist_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram(load_table(spark, sf_dir, "events"), "event_type")
+
+
+SQL_HIST_EVENTS = """
+SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS n
+FROM events GROUP BY 1
+"""

@@ -1,0 +1,222 @@
+"""Training-data-pipeline demo queries (dedup / similarity / text analysis)
+over the documents + embeddings test tables, with DuckDB oracles.
+
+The dedup corpora inject deterministic duplicates (the raw test tables are
+dup-free): exact copies for hash dedup, tail-truncated copies for near-dup —
+both constructed identically in the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anzlic_validator_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from anzlic_validator_spark.operators.similarity import brute_force_topk, l2_norm, lsh_topk
+from anzlic_validator_spark.operators.text import predict_language, quality_features
+from anzlic_validator_spark.sources.tables import load_table
+
+# --------------------------------------------------------------- exact dedup
+
+
+def _corpus_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_exact_dups(spark, sf_dir)
+    return exact_duplicates(corpus, "text", "doc_id").select("canonical_id", "n_docs")
+
+
+SQL_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 25 = 0
+)
+SELECT min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM corpus GROUP BY text HAVING count(*) > 1
+"""
+
+# ------------------------------------------------------------- minhash dedup
+
+
+def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    truncated = F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), truncated.alias("text")
+    )
+    return docs.unionByName(copies)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    return minhash_near_duplicates(
+        corpus, "text", "doc_id", threshold=0.6, num_hashes=63, n_bands=21
+    )
+
+
+# oracle: exact pairwise Jaccard on 3-word shingles — LSH recall with
+# 21 bands × 3 rows is 1-(1-j³)²¹ ≥ 0.9998 at j=0.7 (this corpus's true
+# pairs sit at j≥0.7), so exact == LSH-verified here.
+SQL_DEDUP_MINHASH = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ')
+  FROM documents WHERE doc_id % 10 = 0
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text,' ')) >= 3 THEN
+           list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+             i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+         ELSE [text] END AS s
+  FROM corpus
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jac
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups — no SQL oracle (bit-vote signature is not
+    SQL-expressible); driver records the rows-only check."""
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    return simhash_near_duplicates(corpus, "text", "doc_id", max_hamming=3, n_tables=4)
+
+
+# ------------------------------------------------------------------- ANN
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+SQL_ANN_BRUTEFORCE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+    (SELECT sum(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE a, unnest(q.q_emb)::DOUBLE b) z)
+    / ( sqrt((SELECT sum(a*a) FROM (SELECT unnest(e.embedding)::DOUBLE a) z2))
+      * sqrt((SELECT sum(b*b) FROM (SELECT unnest(q.q_emb)::DOUBLE b) z3)) ) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 4) AS sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k — approximate by design, so rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return lsh_topk(emb, queries, dim=64, k=5, bits=6, n_tables=8)
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 4).alias("l2_norm"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       round(sqrt((SELECT sum(a*a) FROM (SELECT unnest(embedding)::DOUBLE a) z)), 4) AS l2_norm
+FROM embeddings
+"""
+
+# ------------------------------------------------------------------- text
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs, "text", "doc_id")
+
+
+SQL_QUALITY = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         length(replace(text, ' ', '')) AS chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_distinct AS INT) AS n_distinct,
+       round(n_distinct::DOUBLE / n_tokens, 4) AS distinct_ratio,
+       round(chars::DOUBLE / n_tokens, 4) AS avg_tok_len,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM t
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = predict_language(F.col("text"), threshold=0.05)
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.col("lang"),
+        (pred == F.col("lang")).cast("int").alias("match"),
+    )
+
+
+SQL_LANGID = """
+WITH r AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','ein','zu','nicht')))::DOUBLE
+      / len(string_split(text,' ')) AS rde,
+    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+      / len(string_split(text,' ')) AS ren,
+    len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et','est','un','une','dans')))::DOUBLE
+      / len(string_split(text,' ')) AS rfr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(rde, ren, rfr) > 0.05 THEN
+    (CASE WHEN rde >= ren AND rde >= rfr THEN 'de'
+          WHEN ren >= rfr THEN 'en'
+          ELSE 'fr' END)
+  ELSE 'unk' END AS pred_lang,
+  lang,
+  CAST(CASE WHEN (CASE WHEN greatest(rde, ren, rfr) > 0.05 THEN
+    (CASE WHEN rde >= ren AND rde >= rfr THEN 'de'
+          WHEN ren >= rfr THEN 'en'
+          ELSE 'fr' END)
+  ELSE 'unk' END) = lang THEN 1 ELSE 0 END AS INT) AS match
+FROM r
+"""

@@ -49,20 +49,24 @@ _RULE_KEYS: dict[str, set[str]] = {
     "referential": {
         "column",
         "key",
+        "join_on",
         "ref_table",
         "ref_key",
         "ref_column",
         "on_missing",
+        "broadcast",
     },
     "referential_mapped": {
         "column",
         "key",
+        "join_on",
         "ref_table",
         "ref_key",
         "ref_column",
         "mapping",
         "on_missing",
         "on_unmapped",
+        "broadcast",
     },
     "not_both": {"columns"},
     "equal_fields": {"columns"},

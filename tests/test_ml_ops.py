@@ -1,0 +1,142 @@
+"""Dedup / similarity / text operators + the driver-contract demo queries."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from anzlic_validator_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from anzlic_validator_spark.operators.similarity import brute_force_topk, lsh_topk
+from anzlic_validator_spark.operators.text import quality_features, predict_language
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="a b c"), Row(id=2, t="a b c"), Row(id=3, t="x y"), Row(id=4, t="a b c")]
+    )
+    rows = exact_duplicates(df, "t", "id").collect()
+    assert len(rows) == 1 and rows[0].n_docs == 3 and rows[0].canonical_id == 1
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([Row(a="w1 w2 w3 w4", b="w1 w2 w3 w5")])
+    out = df.select(
+        word_shingles(F.col("a")).alias("sa"), word_shingles(F.col("b")).alias("sb")
+    ).withColumn("j", jaccard(F.col("sa"), F.col("sb"))).collect()[0]
+    # shingles a: {w1 w2 w3, w2 w3 w4}; b: {w1 w2 w3, w2 w3 w5} → jac 1/3
+    assert sorted(out.sa) == ["w1 w2 w3", "w2 w3 w4"]
+    assert out.j == pytest.approx(1 / 3)
+
+
+def test_short_text_shingles(spark):
+    df = spark.createDataFrame([Row(a="w1 w2")])
+    out = df.select(word_shingles(F.col("a")).alias("s")).collect()[0]
+    assert out.s == ["w1 w2"]
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    # 30 distinct docs + near-dup copies of 5 of them (drop last word)
+    words = [f"tok{i}" for i in range(40)]
+    rows = []
+    for d in range(30):
+        toks = [words[(d * 7 + j) % 40] for j in range(20)]
+        rows.append(Row(id=d, t=" ".join(toks)))
+        if d % 6 == 0:
+            rows.append(Row(id=1000 + d, t=" ".join(toks[:-1])))
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_finds_planted_pairs(spark, dup_corpus):
+    pairs = {(r.a_id, r.b_id) for r in
+             minhash_near_duplicates(dup_corpus, "t", "id", threshold=0.6).collect()}
+    planted = {(d, 1000 + d) for d in range(30) if d % 6 == 0}
+    assert planted <= pairs
+    # every reported pair must genuinely clear the threshold
+    for r in minhash_near_duplicates(dup_corpus, "t", "id", threshold=0.6).collect():
+        assert r.jac >= 0.6
+
+
+def test_simhash_finds_planted_pairs(spark, dup_corpus):
+    pairs = {(r.a_id, r.b_id) for r in
+             simhash_near_duplicates(dup_corpus, "t", "id", max_hamming=8).collect()}
+    planted = {(d, 1000 + d) for d in range(30) if d % 6 == 0}
+    assert planted <= pairs
+
+
+def test_brute_force_topk_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(40)]
+    )
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    got = [r.neighbor_id for r in brute_force_topk(df, q, k=3).orderBy("rank").collect()]
+    # numpy oracle
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    order = [int(i) for i in np.argsort(-sims) if i != 0][:3]
+    assert got == order
+
+
+def test_lsh_topk_high_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 16)).astype("float32")
+    # plant a near-identical neighbor for query 0
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16).astype("float32")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(60)]
+    )
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    got = {r.neighbor_id for r in lsh_topk(df, q, dim=16, k=3, bits=4, n_tables=8).collect()}
+    assert 1 in got  # the planted near-duplicate must be found
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat", lang="en"),
+            Row(doc_id=2, text="der hund und die katze", lang="de"),
+            Row(doc_id=3, text="zzz qqq www", lang="en"),
+        ]
+    )
+    q = {r.doc_id: r for r in quality_features(df, "text", "doc_id").collect()}
+    assert q[1].n_tokens == 6 and q[1].n_distinct == 5
+    assert q[1].distinct_ratio == pytest.approx(5 / 6, abs=1e-4)
+    preds = {
+        r.doc_id: r.p
+        for r in df.select("doc_id", predict_language(F.col("text")).alias("p")).collect()
+    }
+    assert preds[1] == "en" and preds[2] == "de" and preds[3] == "unk"
+
+
+def test_entry_contract(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert df.columns == ["key", "rule_id", "observed", "expected"]
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every query runs at the smoke SF and returns a DataFrame
+    for name, fn in qs.items():
+        out = fn(spark, sf_dir)
+        assert out.columns, name
