@@ -39,14 +39,45 @@ def _empty_violations(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], _INTERNAL_SCHEMA)
 
 
-def row_rule_violations(df: DataFrame, rules: list[Rule], key_col: str) -> DataFrame:
-    """All row-level rules in one codegen'd projection."""
-    structs = compile_row_rules(rules)
+# rule types that fold into the single-scan row pass (joins and the Arrow
+# decode UDF included — they augment the row stream, they don't re-scan it)
+_SCAN_FUSED = {"referential", "referential_mapped", "audio_decode"}
+
+
+def single_scan_violations(
+    df: DataFrame, catalog: RuleCatalog, key_col: str, refs: dict[str, DataFrame]
+) -> DataFrame:
+    """ALL per-row rule families in ONE scan of the table.
+
+    Row rules compile to struct expressions; referential rules LEFT-join
+    their authority onto the stream; the audio rule attaches its Arrow
+    decode-check struct. Everything lands in one array → filter → explode
+    projection, so the table — including the heavy ``bytes`` column — is
+    read exactly once per job no matter how many rules the catalog holds.
+    """
+    from anzlic_validator_spark.functions.audio import augment_audio
+    from anzlic_validator_spark.operators.referential import (
+        augment_referential,
+        augment_referential_mapped,
+    )
+
+    structs = compile_row_rules(catalog.row_rules)
+    aug = df
+    for rule in catalog.dataset_rules:
+        if rule.type == "referential":
+            aug, s = augment_referential(aug, rule, key_col, refs)
+            structs.append(s)
+        elif rule.type == "referential_mapped":
+            aug, s = augment_referential_mapped(aug, rule, key_col, refs)
+            structs.append(s)
+        elif rule.type == "audio_decode":
+            aug, ss = augment_audio(aug, rule, key_col)
+            structs.extend(ss)
     if not structs:
         return _empty_violations(df.sparkSession)
     arr = F.filter(F.array(*structs), lambda v: v.isNotNull())
     return (
-        df.select(F.col(key_col).cast("string").alias("key"), F.explode(arr).alias("__v"))
+        aug.select(F.col(key_col).cast("string").alias("key"), F.explode(arr).alias("__v"))
         .select("key", "__v.rule_id", "__v.observed", "__v.expected", "__v.rule_order")
     )
 
@@ -57,12 +88,9 @@ def dataset_rule_violations(
     key_col: str,
     refs: dict[str, DataFrame],
 ) -> DataFrame:
-    # local imports keep pyspark-light modules importable without the full set
+    """Rules that genuinely need their own aggregate pass (their scans are
+    pruned to the rule's columns — never the binary payload)."""
     from anzlic_validator_spark.operators.drift import drift_violations
-    from anzlic_validator_spark.operators.referential import (
-        referential_mapped_violations,
-        referential_violations,
-    )
     from anzlic_validator_spark.operators.setcover import all_of_violations
     from anzlic_validator_spark.operators.uniqueness import unique_violations
 
@@ -70,16 +98,8 @@ def dataset_rule_violations(
         return unique_violations(df, rule, key_col)
     if rule.type == "all_of":
         return all_of_violations(df, rule, key_col)
-    if rule.type == "referential":
-        return referential_violations(df, rule, key_col, refs)
-    if rule.type == "referential_mapped":
-        return referential_mapped_violations(df, rule, key_col, refs)
     if rule.type == "drift":
         return drift_violations(df, rule, key_col)
-    if rule.type == "audio_decode":
-        from anzlic_validator_spark.functions.audio import audio_violations
-
-        return audio_violations(df, rule, key_col)
     raise InvalidConfigException(f"unknown dataset rule type: {rule.type}")
 
 
@@ -125,15 +145,34 @@ class ValidationResult:
 
         'Partition' is the deterministic hash bucket of the key —
         independent of physical task layout, so resumed runs agree.
+
+        Computed from two independent aggregates joined at bucket
+        granularity (≤ n_buckets rows) instead of re-deriving the full
+        per-key verdict join — the key set aggregates map-side in one pass
+        and never shuffles row-level data.
         """
-        b = F.pmod(F.xxhash64(F.col("key")), F.lit(n_buckets)).alias("bucket")
-        return (
-            self.verdicts.groupBy(b)
+        key_bucket = F.pmod(F.xxhash64(F.col("key")), F.lit(n_buckets)).alias("bucket")
+        rows_per_bucket = (
+            self.df.select(F.col(self.key_col).cast("string").alias("key"))
+            .groupBy(key_bucket)
+            .agg(F.count_distinct(F.col("key")).alias("rows"))
+        )
+        viol_per_bucket = (
+            self.violations_ranked.where(F.col("key") != "__table__")
+            .groupBy(key_bucket)
             .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.sum((~F.col("passed")).cast("long")).alias("failed_rows"),
-                F.sum("n_violations").alias("violations"),
-                (F.sum((~F.col("passed")).cast("long")) == 0).alias("passed"),
+                F.count_distinct(F.col("key")).alias("failed_rows"),
+                F.count(F.lit(1)).alias("violations"),
+            )
+        )
+        return (
+            rows_per_bucket.join(viol_per_bucket, on="bucket", how="left")
+            .select(
+                "bucket",
+                "rows",
+                F.coalesce("failed_rows", F.lit(0)).alias("failed_rows"),
+                F.coalesce("violations", F.lit(0)).alias("violations"),
+                (F.coalesce("failed_rows", F.lit(0)) == 0).alias("passed"),
             )
             .orderBy("bucket")
         )
@@ -150,8 +189,10 @@ def validate(
     missing = [c for r in catalog.row_rules for c in _rule_columns(r) if c not in df.columns]
     if missing:
         raise InvalidConfigException(f"catalog references unknown columns: {sorted(set(missing))}")
-    parts = [row_rule_violations(df, catalog.row_rules, key_col)]
+    parts = [single_scan_violations(df, catalog, key_col, refs)]
     for rule in catalog.dataset_rules:
+        if rule.type in _SCAN_FUSED:
+            continue  # already folded into the single-scan pass
         parts.append(dataset_rule_violations(df, rule, key_col, refs))
     violations = parts[0]
     for p in parts[1:]:

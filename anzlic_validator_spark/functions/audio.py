@@ -80,9 +80,8 @@ def encode(pcm: np.ndarray, sr: int, codec: str) -> bytes:
 
 
 def _to_s16(pcm: np.ndarray) -> np.ndarray:
-    return np.clip(np.rint(np.asarray(pcm, dtype=np.float64) * 32767.0), -32768, 32767).astype(
-        "<i2"
-    )
+    scaled = np.asarray(pcm, dtype=np.float32) * np.float32(32767.0)
+    return np.clip(np.rint(scaled), -32768, 32767).astype("<i2")
 
 
 # ---------------------------------------------------------------- decode
@@ -135,21 +134,31 @@ def ref_signal(i: int, sr: int, n: int, seed: int) -> np.ndarray:
     Counter-based Philox keyed by (seed, i): any executor regenerates the
     exact signal without coordination — the distributed-safe analog of the
     reference's golden fixture record (tests/testAllCorrect.xml).
+
+    All-float32 on purpose: (a) half the memory traffic, (b) typical 1-2 s
+    clip buffers stay under glibc's 128 KiB mmap threshold — float64 temps
+    made every allocation an mmap/munmap pair, and at 32 concurrent Python
+    workers the TLB-shootdown storm pushed the UDF stage to ~90% kernel
+    time. Determinism is unaffected: generator and validator run the
+    identical float32 ops.
     """
     rng = np.random.Generator(np.random.Philox(key=np.uint64(seed) ^ np.uint64(i)))
-    t = np.arange(n, dtype=np.float64) / float(sr)
-    freq = 110.0 + (i % 40) * 13.0
-    x = 0.5 * np.sin(2.0 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
-    return np.clip(x, -1.0, 1.0).astype(np.float32)
+    t = np.arange(n, dtype=np.float32)
+    t *= np.float32(2.0 * np.pi * (110.0 + (i % 40) * 13.0) / sr)
+    x = np.sin(t, out=t)
+    x *= np.float32(0.5)
+    x += np.float32(0.05) * rng.standard_normal(n, dtype=np.float32)
+    return np.clip(x, -1.0, 1.0, out=x)
 
 
 def snr_db(ref: np.ndarray, dec: np.ndarray) -> float:
     n = min(ref.size, dec.size)
     if n == 0:
         return float("-inf")
-    r, d = ref[:n].astype(np.float64), dec[:n].astype(np.float64)
-    noise = float(np.sum((r - d) ** 2))
-    sig = float(np.sum(r**2))
+    r, d = ref[:n], dec[:n]
+    e = r - d
+    noise = float(np.dot(e, e))
+    sig = float(np.dot(r, r))
     if noise == 0.0:
         return float("inf")
     if sig == 0.0:
@@ -206,8 +215,12 @@ def make_decode_check_udf(ref_seed: int | None):
 
 # ------------------------------------------------------------- violations
 
-def audio_violations(df: DataFrame, rule: Rule, key_col: str) -> DataFrame:
-    """Violation rows for the audio_decode rule.
+def augment_audio(df: DataFrame, rule: Rule, key_col: str) -> tuple[DataFrame, list[Column]]:
+    """Attach the decode-check struct column and return nullable violation
+    structs, so the audio pass rides the SAME single scan as every other
+    row rule — ``bytes`` is read exactly once per job (the 100 TB
+    requirement; a second pass over a petabyte-scale binary column is the
+    difference between one day and two).
 
     Classes (each rides the same Arrow batch — one UDF invocation per batch):
       <id>.decode  bytes not decodable under codec
@@ -224,15 +237,13 @@ def audio_violations(df: DataFrame, rule: Rule, key_col: str) -> DataFrame:
     ref_seed = rule.get("ref_seed")
     udf = make_decode_check_udf(int(ref_seed) if ref_seed is not None else None)
 
-    d = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.col(sr_col).alias("__sr"),
-        F.col(dur_col).alias("__dur"),
-        F.col(codec_col).alias("__codec"),
-        udf(F.col(bytes_col), F.col(codec_col), F.col(sr_col), F.col(key_col)).alias("c"),
+    cname = f"__audio_{rule.order}"
+    aug = df.withColumn(
+        cname, udf(F.col(bytes_col), F.col(codec_col), F.col(sr_col), F.col(key_col))
     )
-    eff_sr = F.coalesce(F.col("c.sr_stream"), F.col("__sr"))
-    dur_dec = F.col("c.n_samples") * 1000.0 / eff_sr
+    c = F.col(cname)
+    eff_sr = F.coalesce(c["sr_stream"], F.col(sr_col))
+    dur_dec = c["n_samples"] * 1000.0 / eff_sr
     rid = rule.rule_id
 
     def v(cls: str, observed: Column, expected: str) -> Column:
@@ -245,28 +256,25 @@ def audio_violations(df: DataFrame, rule: Rule, key_col: str) -> DataFrame:
 
     checks = [
         F.when(
-            F.col("c.err").isNotNull(),
-            v("decode", F.col("c.err"), "decodable per codec column"),
+            c["err"].isNotNull(),
+            v("decode", c["err"], "decodable per codec column"),
         ),
         F.when(
-            F.col("c.sr_stream").isNotNull() & (F.col("c.sr_stream") != F.col("__sr")),
-            v("sr", F.col("c.sr_stream"), "sr_hz column matches stream"),
+            c["sr_stream"].isNotNull() & (c["sr_stream"] != F.col(sr_col)),
+            v("sr", c["sr_stream"], "sr_hz column matches stream"),
         ),
         F.when(
-            F.col("c.n_samples").isNotNull()
-            & F.col("__dur").isNotNull()
-            & (F.abs(dur_dec - F.col("__dur")) > F.lit(tol)),
+            c["n_samples"].isNotNull()
+            & F.col(dur_col).isNotNull()
+            & (F.abs(dur_dec - F.col(dur_col)) > F.lit(tol)),
             v("dur", F.round(dur_dec, 1), f"dur_ms column ±{tol}ms of decoded"),
         ),
     ]
     if ref_seed is not None and snr_min is not None:
         checks.append(
             F.when(
-                F.col("c.snr_db").isNotNull() & (F.col("c.snr_db") < F.lit(float(snr_min))),
-                v("snr", F.round(F.col("c.snr_db"), 2), f"SNR>={snr_min}dB vs reference"),
+                c["snr_db"].isNotNull() & (c["snr_db"] < F.lit(float(snr_min))),
+                v("snr", F.round(c["snr_db"], 2), f"SNR>={snr_min}dB vs reference"),
             )
         )
-    arr = F.filter(F.array(*checks), lambda x: x.isNotNull())
-    return d.select("key", F.explode(arr).alias("__v")).select(
-        "key", "__v.rule_id", "__v.observed", "__v.expected", "__v.rule_order"
-    )
+    return aug, checks

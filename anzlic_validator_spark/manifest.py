@@ -16,6 +16,12 @@ The unit of resume is the deterministic hash bucket of the key
 (pmod(xxhash64(key), n_buckets)) — stable across cluster sizes and physical
 layouts, so a job restarted at 4N executors skips exactly the buckets the
 N-executor run completed.
+
+Scope caveat: rules whose groups are functions of the key (uniqueness —
+duplicate keys hash to the same bucket) resume safely. A rule grouping by a
+NON-key column (all_of with group_by) can have groups spanning buckets; for
+catalogs containing such rules run with n_buckets=1 or accept per-bucket
+group semantics.
 """
 
 from __future__ import annotations

@@ -2,16 +2,16 @@
 
 from anzlic_validator_spark.operators.uniqueness import unique_violations
 from anzlic_validator_spark.operators.referential import (
-    referential_violations,
-    referential_mapped_violations,
+    augment_referential,
+    augment_referential_mapped,
 )
 from anzlic_validator_spark.operators.setcover import all_of_violations
 from anzlic_validator_spark.operators.drift import drift_violations
 
 __all__ = [
     "unique_violations",
-    "referential_violations",
-    "referential_mapped_violations",
+    "augment_referential",
+    "augment_referential_mapped",
     "all_of_violations",
     "drift_violations",
 ]

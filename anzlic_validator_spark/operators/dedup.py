@@ -188,22 +188,30 @@ def simhash_near_duplicates(
 
     @F.pandas_udf(T.LongType())
     def simhash64(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        powers = (np.uint64(1) << shifts).astype(np.uint64)
+        # per-token 64-bit hash via a stable md5-based fold; memoized per
+        # batch — vocabularies repeat heavily, so this converts the kernel
+        # from O(rows × tokens) hashing to O(distinct tokens)
+        bit_cache: dict[str, np.ndarray] = {}
+
+        def token_bits(tok: str) -> np.ndarray:
+            bits = bit_cache.get(tok)
+            if bits is None:
+                h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little"))
+                bits = (((h >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
+                bit_cache[tok] = bits
+            return bits
+
         out = np.zeros(len(texts), dtype=np.int64)
         for j, t in enumerate(texts):
             toks = (t or "").split(" ")
             if not toks:
                 continue
-            # per-token 64-bit hash via a stable md5-based fold
             votes = np.zeros(64, dtype=np.int64)
             for tok in toks:
-                h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little"))
-                bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                votes += bits * 2 - 1
-            sig = np.uint64(0)
-            for bit in range(64):
-                if votes[bit] > 0:
-                    sig |= np.uint64(1) << np.uint64(bit)
-            out[j] = np.int64(sig)
+                votes += token_bits(tok)
+            out[j] = np.int64((powers[votes > 0]).sum(dtype=np.uint64).astype(np.int64))
         return pd.Series(out)
 
     base = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))

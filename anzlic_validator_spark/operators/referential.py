@@ -19,63 +19,75 @@ otherwise; AQE skew-join splits hot key ranges at runtime.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from anzlic_validator_spark.errors import InvalidConfigException
 from anzlic_validator_spark.rules import Rule
 
 
-def _prep(df: DataFrame, ref: DataFrame, rule: Rule, key_col: str):
+def _viol(rule: Rule, cls: Column, observed: Column, expected: Column) -> Column:
+    return F.struct(
+        cls.alias("rule_id"),
+        observed.cast("string").alias("observed"),
+        expected.cast("string").alias("expected"),
+        F.lit(rule.order).cast("int").alias("rule_order"),
+    )
+
+
+def augment_referential(
+    df: DataFrame, rule: Rule, key_col: str, refs: dict[str, DataFrame]
+) -> tuple[DataFrame, Column]:
+    """LEFT-join the authority onto the row stream and return the augmented
+    frame plus a nullable violation-struct column — so referential checks
+    ride the SAME single scan as every other row rule (one pass over the
+    table regardless of rule count; the 100 TB requirement).
+
+    Authority keys must be unique (a non-unique authority would multiply
+    rows) — same contract as the reference's one-CRS-per-layer API.
+    """
+    ref = _lookup_ref(rule, refs)
     key = str(rule.get("key", key_col))
     # join_on lets FK-style lookups join on the FK column while reporting
     # violations against the record key (default: join on the key itself,
     # the clip_id↔clip_id shape of the transcript index)
     join_on = str(rule.get("join_on", key))
     col = str(rule.get("column"))
-    ref_key = str(rule.get("ref_key"))
-    ref_col = str(rule.get("ref_column"))
-    left = df.select(
-        F.col(key).alias("__k"),
-        F.col(join_on).alias("__j"),
-        F.col(col).cast("string").alias("__v"),
-    )
+    ref_col_name = f"__ref_{rule.order}"
     right = ref.select(
-        F.col(ref_key).alias("__j"), F.col(ref_col).cast("string").alias("__ref")
+        F.col(str(rule.get("ref_key"))).alias(join_on),
+        F.col(str(rule.get("ref_column"))).cast("string").alias(ref_col_name),
     )
     if rule.get("broadcast", False):
         right = F.broadcast(right)
-    return left.join(right, on="__j", how="left"), col
+    joined = df.join(right, on=join_on, how="left")
 
-
-def referential_violations(
-    df: DataFrame, rule: Rule, key_col: str, refs: dict[str, DataFrame]
-) -> DataFrame:
-    ref = _lookup_ref(rule, refs)
-    joined, col = _prep(df, ref, rule, key_col)
-    on_missing = rule.get("on_missing", "violation")
-    missing = F.col("__ref").isNull()
-    mismatch = F.col("__ref").isNotNull() & ~F.col("__v").eqNullSafe(F.col("__ref"))
+    v = F.col(col).cast("string")
+    r = F.col(ref_col_name)
+    missing = r.isNull()
+    mismatch = r.isNotNull() & ~v.eqNullSafe(r)
     cls = (
         F.when(missing, F.lit(f"{rule.rule_id}.missing_ref"))
         .when(mismatch, F.lit(f"{rule.rule_id}.incorrect"))
     )
-    cond = mismatch if on_missing == "ignore" else (missing | mismatch)
-    return joined.where(cond).select(
-        F.col("__k").cast("string").alias("key"),
-        cls.alias("rule_id"),
-        F.coalesce(F.col("__v"), F.lit("None")).alias("observed"),
-        F.coalesce(F.col("__ref"), F.lit(f"reference row for {col}")).alias("expected"),
-        F.lit(rule.order).cast("int").alias("rule_order"),
+    cond = mismatch if rule.get("on_missing", "violation") == "ignore" else (missing | mismatch)
+    struct = F.when(
+        cond,
+        _viol(
+            rule,
+            cls,
+            F.coalesce(v, F.lit("None")),
+            F.coalesce(r, F.lit(f"reference row for {col}")),
+        ),
     )
+    return joined, struct
 
 
-def referential_mapped_violations(
+def augment_referential_mapped(
     df: DataFrame, rule: Rule, key_col: str, refs: dict[str, DataFrame]
-) -> DataFrame:
-    """Authority value passes through a literal mapping before comparison.
-
-    Mirrors checkSpatialRepresentation's kind→code dict
+) -> tuple[DataFrame, Column]:
+    """Mapped variant: the authority value passes through a literal mapping
+    before comparison. Mirrors checkSpatialRepresentation's kind→code dict
     ({'raster':'grid','grid':'grid','table':'textTable','vector':'vector'},
     errorChecker.py:509-527); an authority value absent from the mapping is
     itself a violation (unknown kind → incorrect, :528-530) unless
@@ -85,36 +97,42 @@ def referential_mapped_violations(
     mapping = rule.get("mapping") or {}
     if not isinstance(mapping, dict) or not mapping:
         raise InvalidConfigException(f"rule {rule.rule_id}: 'mapping' must be a non-empty dict")
-    joined, col = _prep(df, ref, rule, key_col)
+    key = str(rule.get("key", key_col))
+    join_on = str(rule.get("join_on", key))
+    col = str(rule.get("column"))
+    ref_col_name = f"__ref_{rule.order}"
+    right = ref.select(
+        F.col(str(rule.get("ref_key"))).alias(join_on),
+        F.col(str(rule.get("ref_column"))).cast("string").alias(ref_col_name),
+    )
+    if rule.get("broadcast", False):
+        right = F.broadcast(right)
+    joined = df.join(right, on=join_on, how="left")
+
     map_expr = F.create_map(*[F.lit(str(x)) for kv in mapping.items() for x in kv])
-    joined = joined.withColumn("__mapped", map_expr[F.col("__ref")])
-    on_missing = rule.get("on_missing", "violation")
-    on_unmapped = rule.get("on_unmapped", "violation")
-    missing = F.col("__ref").isNull()
-    unmapped = F.col("__ref").isNotNull() & F.col("__mapped").isNull()
-    mismatch = F.col("__mapped").isNotNull() & ~F.col("__v").eqNullSafe(F.col("__mapped"))
+    v = F.col(col).cast("string")
+    r = F.col(ref_col_name)
+    mapped = map_expr[r]
+    missing = r.isNull()
+    unmapped = r.isNotNull() & mapped.isNull()
+    mismatch = mapped.isNotNull() & ~v.eqNullSafe(mapped)
     cls = (
         F.when(missing, F.lit(f"{rule.rule_id}.missing_ref"))
         .when(unmapped, F.lit(f"{rule.rule_id}.unmapped"))
         .when(mismatch, F.lit(f"{rule.rule_id}.incorrect"))
     )
     cond = mismatch
-    if on_missing != "ignore":
+    if rule.get("on_missing", "violation") != "ignore":
         cond = cond | missing
-    if on_unmapped != "ignore":
+    if rule.get("on_unmapped", "violation") != "ignore":
         cond = cond | unmapped
     expected = (
         F.when(missing, F.lit(f"reference row for {col}"))
         .when(unmapped, F.lit("mapped value for " + ",".join(sorted(mapping))))
-        .otherwise(F.col("__mapped"))
+        .otherwise(mapped)
     )
-    return joined.where(cond).select(
-        F.col("__k").cast("string").alias("key"),
-        cls.alias("rule_id"),
-        F.coalesce(F.col("__v"), F.lit("None")).alias("observed"),
-        expected.alias("expected"),
-        F.lit(rule.order).cast("int").alias("rule_order"),
-    )
+    struct = F.when(cond, _viol(rule, cls, F.coalesce(v, F.lit("None")), expected))
+    return joined, struct
 
 
 def _lookup_ref(rule: Rule, refs: dict[str, DataFrame]) -> DataFrame:

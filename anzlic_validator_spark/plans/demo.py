@@ -342,3 +342,60 @@ SQL_HIST_EVENTS = """
 SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS n
 FROM events GROUP BY 1
 """
+
+# --------------------------------------------------------------------------
+# wide report row (P1/P2/P4/P5): the ~70-field per-record extraction of
+# allMetadataCheck.py:204-303 — single-value fields with None markers,
+# multi-value fields joined with '|', presence flags, display casing
+# --------------------------------------------------------------------------
+
+
+def q_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # multi-occurrence field → '|'-joined occurrences (add_layer_text,
+    # allMetadataCheck.py:136-146): the order's distinct linestatuses
+    statuses = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("__sts")
+    )
+    return (
+        orders.join(statuses, orders.o_orderkey == statuses.l_orderkey, "left")
+        .select(
+            F.col("o_orderkey").alias("key"),
+            # P1: single field with 'None' default marker
+            F.coalesce(F.col("o_orderdate").cast("date").cast("string"), F.lit("None")).alias(
+                "orderdate"
+            ),
+            # P2: multi-occurrence join with '|', 'empty' marker
+            F.when(F.size("__sts") > 0, F.concat_ws("|", "__sts"))
+            .otherwise(F.lit("empty"))
+            .alias("linestatuses"),
+            # P4: presence flag projection ('X' when present)
+            F.when(F.array_contains(F.col("__sts"), "O"), F.lit("X"))
+            .otherwise(F.lit(""))
+            .alias("has_open"),
+            # P5: display-casing rewrite
+            F.initcap(F.lower("o_orderpriority")).alias("priority_disp"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+SQL_REPORT_ORDERS = """
+WITH statuses AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_linestatus))) AS sts
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey AS key,
+       COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 'None') AS orderdate,
+       CASE WHEN len(sts) > 0 THEN array_to_string(sts, '|') ELSE 'empty' END AS linestatuses,
+       CASE WHEN list_contains(sts, 'O') THEN 'X' ELSE '' END AS has_open,
+       -- mirror Spark initcap: lowercase, then capitalize the first char of
+       -- each space-separated word ('4-not specified' → '4-not Specified')
+       array_to_string(
+         list_transform(string_split(lower(o_orderpriority), ' '),
+                        w -> upper(substr(w, 1, 1)) || substr(w, 2)),
+         ' ') AS priority_disp,
+       o_totalprice AS totalprice
+FROM orders LEFT JOIN statuses ON o_orderkey = l_orderkey
+"""

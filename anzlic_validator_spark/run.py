@@ -84,23 +84,36 @@ def run_validation(
         df = df.where(F.col("bucket").isin(pending))
 
     result = validate(df, catalog, key_col=key_col, refs=refs)
+    # three consumers follow (violations write, verdicts write, metrics agg);
+    # persist the violation set so the expensive pass — the Arrow decode UDF
+    # in particular — runs exactly once. Violations are a tiny fraction of
+    # input rows, so this fits memory/disk easily at any scale.
+    result.violations_ranked = result.violations_ranked.persist()
 
-    # only the touched buckets are overwritten; completed ones stay intact
+    # only the touched buckets are overwritten; completed ones stay intact.
+    # repartition on the bucket key first: without it every task writes a
+    # sliver into every bucket dir (tasks × buckets tiny files + a serial
+    # driver-side commit of thousands of files — an anti-pattern that gets
+    # quadratically worse with cluster size). One writer per bucket → one
+    # file per bucket per run.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     b = bucket_col("key", n_buckets).alias("bucket")
     (
         result.violations.withColumn("bucket", b)
+        .repartition(len(pending), "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{output}/violations")
     )
     (
         result.verdicts.withColumn("bucket", b)
+        .repartition(len(pending), "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{output}/verdicts")
     )
     metrics_rows = result.partition_summary(n_buckets=n_buckets).collect()
+    result.violations_ranked.unpersist()
     wall = time.monotonic() - t0
     bucket_metrics = {
         int(r.bucket): {
@@ -135,6 +148,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--dry-run", action="store_true", help="print plan, write nothing")
     args = ap.parse_args(argv)
+
+    # before JVM launch so Python UDF workers inherit it: heap, not mmap,
+    # for clip-sized numpy buffers (see functions/audio.ref_signal notes)
+    import os as _os
+
+    _os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(128 * 1024 * 1024))
 
     spark = (
         SparkSession.builder.appName("anzlic_validator_spark.run")

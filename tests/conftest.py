@@ -12,6 +12,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(128 * 1024 * 1024))
     s = (
         SparkSession.builder.master("local[4]")
         .appName("anzlic_validator_spark_tests")
