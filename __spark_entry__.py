@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_returnflag": demo.q_hist_returnflag,
         "hist_events": demo.q_hist_events,
         "report_orders": demo.q_report_orders,
+        "events_rules": demo.q_events_rules,
         "dedup_exact": demo_ml.q_dedup_exact,
         "dedup_minhash": demo_ml.q_dedup_minhash,
         "dedup_simhash": demo_ml.q_dedup_simhash,
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_returnflag": demo.SQL_HIST_RETURNFLAG,
         "hist_events": demo.SQL_HIST_EVENTS,
         "report_orders": demo.SQL_REPORT_ORDERS,
+        "events_rules": demo.SQL_EVENTS_RULES,
         "dedup_exact": demo_ml.SQL_DEDUP_EXACT,
         "dedup_minhash": demo_ml.SQL_DEDUP_MINHASH,
         "ann_bruteforce": demo_ml.SQL_ANN_BRUTEFORCE,

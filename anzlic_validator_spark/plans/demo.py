@@ -399,3 +399,88 @@ SELECT o_orderkey AS key,
        o_totalprice AS totalprice
 FROM orders LEFT JOIN statuses ON o_orderkey = l_orderkey
 """
+
+# --------------------------------------------------------------------------
+# events row-rule sweep: oracle coverage for the remaining row-rule families
+# (exists R1, value R3, contains R9, dateformat R11, empty_scan R12,
+#  not_both R15, equal_fields R16) in one catalog over derived columns
+# --------------------------------------------------------------------------
+
+EVENTS_CATALOG = {
+    "rules": [
+        {"id": "props.exists", "type": "exists", "column": "props"},
+        {"id": "etype.value", "type": "value", "column": "event_type", "value": "click"},
+        {"id": "props.contains", "type": "contains", "column": "props", "values": ['"k"']},
+        {
+            "id": "day.dateformat",
+            "type": "format",
+            "column": "ts_day",
+            "pattern": r"^\d{4}(-\d{2}(-\d{2})?)?$",
+        },
+        {"id": "scan", "type": "empty_scan", "columns": ["event_type", "props"]},
+        {"id": "xor", "type": "not_both", "columns": ["always_set", "click_only"]},
+        {"id": "eq", "type": "equal_fields", "columns": ["event_type", "etype_rev"]},
+    ]
+}
+
+
+def q_events_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("always_set", F.lit("x"))
+        .withColumn(
+            "click_only", F.when(F.col("event_type") == "click", F.lit("y"))
+        )
+        .withColumn("etype_rev", F.reverse("event_type"))
+    )
+    res = validate(ev, parse_catalog(EVENTS_CATALOG), key_col="event_id")
+    return res.violations
+
+
+SQL_EVENTS_RULES = """
+WITH ev AS (
+  SELECT CAST(event_id AS VARCHAR) AS key, event_type, props,
+         strftime(ts, '%Y-%m-%d') AS ts_day,
+         'x' AS always_set,
+         CASE WHEN event_type = 'click' THEN 'y' END AS click_only,
+         reverse(event_type) AS etype_rev
+  FROM events
+)
+SELECT key, 'props.exists.missing' AS rule_id, 'None' AS observed,
+       'present and non-empty' AS expected FROM ev WHERE props IS NULL
+UNION ALL
+SELECT key, 'props.exists.empty', '''''', 'present and non-empty'
+FROM ev WHERE props IS NOT NULL AND length(trim(props)) = 0
+UNION ALL
+SELECT key, 'etype.value.missing', 'None', 'click' FROM ev WHERE event_type IS NULL
+UNION ALL
+SELECT key, 'etype.value.incorrect', event_type, 'click'
+FROM ev WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+         AND event_type <> 'click'
+UNION ALL
+SELECT key, 'props.contains.incorrect', props, 'contains ["k"]'
+FROM ev WHERE props IS NOT NULL AND length(trim(props)) > 0
+         AND NOT contains(props, '"k"')
+UNION ALL
+SELECT key, 'day.dateformat.missing', 'None', 'matches ^\\d{4}(-\\d{2}(-\\d{2})?)?$'
+FROM ev WHERE ts_day IS NULL
+UNION ALL
+SELECT key, 'day.dateformat.incorrect', ts_day, 'matches ^\\d{4}(-\\d{2}(-\\d{2})?)?$'
+FROM ev WHERE ts_day IS NOT NULL AND length(trim(ts_day)) > 0
+         AND NOT regexp_matches(ts_day, '^\\d{4}(-\\d{2}(-\\d{2})?)?$')
+UNION ALL
+SELECT key, 'scan.event_type.empty', '''''', 'non-empty'
+FROM ev WHERE event_type IS NOT NULL AND length(trim(event_type)) = 0
+UNION ALL
+SELECT key, 'scan.props.empty', '''''', 'non-empty'
+FROM ev WHERE props IS NOT NULL AND length(trim(props)) = 0
+UNION ALL
+SELECT key, 'xor.incorrect', always_set || ',' || click_only,
+       'not both always_set and click_only'
+FROM ev WHERE always_set IS NOT NULL AND click_only IS NOT NULL
+UNION ALL
+SELECT key, 'eq.incorrect', event_type || ',' || etype_rev,
+       'all equal: event_type,etype_rev'
+FROM ev WHERE event_type IS DISTINCT FROM etype_rev
+"""

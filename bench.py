@@ -153,6 +153,7 @@ QUERY_NAMES = [
     "hist_returnflag",
     "hist_events",
     "report_orders",
+    "events_rules",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",

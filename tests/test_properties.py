@@ -1,0 +1,153 @@
+"""Property-based invariants (hypothesis) for the rule compiler + engine.
+
+The reference has no property tests (SURVEY §5); these pin the engine's
+contracts: every violation names a real record and a cataloged rule class,
+verdicts partition the key set, the all-violations count is consistent with
+fail-fast ranking, and the config parser round-trips/rejects as specified.
+"""
+
+import string
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from anzlic_validator_spark.engine import validate
+from anzlic_validator_spark.errors import InvalidConfigException
+from anzlic_validator_spark.rules import parse_catalog
+
+KEYS = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6)
+VALS = st.one_of(st.none(), st.text(alphabet="ab ", max_size=4))
+NUMS = st.one_of(st.none(), st.integers(min_value=-5, max_value=105))
+
+CATALOG = parse_catalog(
+    {
+        "rules": [
+            {"id": "v.exists", "type": "exists", "column": "v"},
+            {"id": "v.in_set", "type": "in_set", "column": "v", "values": ["a", "b"],
+             "allow_none": True, "allow_empty": True},
+            {"id": "n.range", "type": "range", "column": "n", "min": 0, "max": 100,
+             "allow_none": True},
+            {"id": "k.unique", "type": "unique", "columns": ["k"]},
+        ]
+    }
+)
+
+VALID_CLASSES = {
+    "v.exists.missing",
+    "v.exists.empty",
+    "v.in_set.incorrect",
+    "n.range.incorrect",
+    "k.unique.incorrect",
+}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(st.tuples(KEYS, VALS, NUMS), min_size=1, max_size=25),
+)
+def test_engine_invariants(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v string, n int")
+    res = validate(df, CATALOG, key_col="k")
+    viols = res.violations.collect()
+    verdicts = res.verdicts.collect()
+    keys = {r[0] for r in rows}
+
+    # 1. every violation names a real record key and a cataloged rule class
+    for v in viols:
+        assert v.key in keys
+        assert v.rule_id in VALID_CLASSES, v.rule_id
+
+    # 2. verdicts partition the distinct key set exactly
+    assert {r.key for r in verdicts} == keys
+    assert len(verdicts) == len(keys)
+
+    # 3. a key fails iff it has at least one violation
+    failing = {v.key for v in viols}
+    for r in verdicts:
+        assert r.passed == (r.key not in failing)
+        # 4. first_rule_id is one of the key's actual violations
+        if not r.passed:
+            assert r.first_rule_id in {v.rule_id for v in viols if v.key == r.key}
+
+    # 5. uniqueness fires exactly for duplicated keys (per physical row)
+    from collections import Counter
+
+    key_counts = Counter(r[0] for r in rows)
+    dup_rows = sum(c for c in key_counts.values() if c > 1)
+    assert sum(1 for v in viols if v.rule_id == "k.unique.incorrect") == dup_rows
+
+    # 6. partition summary totals reconcile with verdicts
+    summ = res.partition_summary(n_buckets=4).collect()
+    assert sum(s.rows for s in summ) == len(keys)
+    assert sum(s.failed_rows for s in summ) == sum(1 for r in verdicts if not r.passed)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.sampled_from(["a", "b", "c", "", None]), min_size=1, max_size=30)
+)
+def test_in_set_matches_python_model(spark, vals):
+    """The in_set compiler agrees with a plain-Python model of the
+    reference semantics (allChecks, errorChecker.py:340-408)."""
+    rows = [(str(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    cat = parse_catalog(
+        {"rules": [{"id": "r", "type": "in_set", "column": "v", "values": ["a", "b"]}]}
+    )
+    got = {(r.key, r.rule_id) for r in validate(df, cat, key_col="k").violations.collect()}
+    want = set()
+    for i, v in enumerate(vals):
+        if v is None:
+            want.add((str(i), "r.missing"))
+        elif v.strip() == "":
+            want.add((str(i), "r.empty"))
+        elif v not in ("a", "b"):
+            want.add((str(i), "r.incorrect"))
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    spec=st.fixed_dictionaries(
+        {"type": st.sampled_from(["exists", "in_set", "unique", "frob", "range"])},
+        optional={
+            "column": st.just("c"),
+            "columns": st.just(["c"]),
+            "values": st.just(["x"]),
+            "bogus_key": st.just(1),
+            "min": st.just(0),
+        },
+    )
+)
+def test_parser_never_accepts_garbage_silently(spec):
+    """Config parser either raises InvalidConfigException or produces a rule
+    whose type/spec round-trip — never a silently mangled rule."""
+    try:
+        cat = parse_catalog({"rules": [spec]})
+    except InvalidConfigException:
+        return
+    assert len(cat.rules) == 1
+    r = cat.rules[0]
+    assert r.type == spec["type"]
+    assert "bogus_key" not in r.spec
+
+
+def test_all_on_config_fails_correct_rows(spark):
+    """Stricter catalog → even 'correct' fixtures fail a designated rule
+    (mirrors tests/test_errorCheck.py:83-94: correct layers under the
+    all-True config must fail)."""
+    import os
+
+    from anzlic_validator_spark.rules import load_catalog
+    from anzlic_validator_spark.synth import clips
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cat = load_catalog(os.path.join(repo, "configs/rules_all_on.yaml"))
+    df = clips(spark, 300, seed=42, clean=True, with_audio=False, num_partitions=2)
+    res = validate(df, cat, key_col="clip_id")
+    verd = res.verdicts
+    # codec.value forces pcm_s16le on everything → wav/flacz rows fail
+    assert verd.where("NOT passed").count() > 0
+    failed_rules = {r.rule_id for r in res.violations.collect()}
+    assert "codec.value.incorrect" in failed_rules
