@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from anzlic_validator_spark.compile import compile_row_rules
@@ -33,6 +33,17 @@ from anzlic_validator_spark.schema import VIOLATION_FIELDS
 
 _INTERNAL_FIELDS = [*VIOLATION_FIELDS, "rule_order"]
 _INTERNAL_SCHEMA = "key string, rule_id string, observed string, expected string, rule_order int"
+
+# violation keys starting with this prefix are table-/group-level synthetic
+# keys ("__table__", "__group__|..."), never record keys: excluded from
+# per-record verdicts and per-bucket summaries, routed to the reserved
+# bucket by the batch runner.
+RESERVED_KEY_PREFIX = "__"
+
+
+def is_record_key(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return ~c.startswith(RESERVED_KEY_PREFIX)
 
 
 def _empty_violations(spark: SparkSession) -> DataFrame:
@@ -121,12 +132,12 @@ class ValidationResult:
     def verdicts(self) -> DataFrame:
         """Per-record verdict: passed + first violation in catalog order.
 
-        Table-level violations (key='__table__') are excluded from
-        per-record verdicts but present in .violations.
+        Reserved-key violations ('__table__', '__group__|...') are excluded
+        from per-record verdicts but present in .violations.
         """
         keys = self.df.select(F.col(self.key_col).cast("string").alias("key")).distinct()
         per_key = (
-            self.violations_ranked.where(F.col("key") != "__table__")
+            self.violations_ranked.where(is_record_key("key"))
             .groupBy("key")
             .agg(
                 F.min(F.struct("rule_order", "rule_id")).alias("__first"),
@@ -158,7 +169,7 @@ class ValidationResult:
             .agg(F.count_distinct(F.col("key")).alias("rows"))
         )
         viol_per_bucket = (
-            self.violations_ranked.where(F.col("key") != "__table__")
+            self.violations_ranked.where(is_record_key("key"))
             .groupBy(key_bucket)
             .agg(
                 F.count_distinct(F.col("key")).alias("failed_rows"),

@@ -40,7 +40,11 @@ def all_of_violations(df: DataFrame, rule: Rule, key_col: str) -> DataFrame:
             )
         )
 
-    # scalar column: occurrences within each group (global if no group_by)
+    # scalar column: occurrences within each group (global if no group_by).
+    # Group-level keys live in the reserved "__" namespace (like "__table__")
+    # so they are never mistaken for record keys: verdicts and the partition
+    # summary exclude them, and the batch runner routes them to the reserved
+    # bucket instead of hashing a synthetic key into an arbitrary bucket.
     keys = [str(k) for k in (group_by or [])]
     grouped = (
         df.groupBy(*[F.col(k) for k in keys])
@@ -49,7 +53,9 @@ def all_of_violations(df: DataFrame, rule: Rule, key_col: str) -> DataFrame:
         .where(F.size("__miss") > 0)
     )
     key_expr = (
-        F.concat_ws("|", *[F.col(k).cast("string") for k in keys]) if keys else F.lit("__table__")
+        F.concat_ws("|", F.lit("__group__"), *[F.col(k).cast("string") for k in keys])
+        if keys
+        else F.lit("__table__")
     )
     return grouped.select(
         key_expr.alias("key"),

@@ -37,14 +37,67 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from anzlic_validator_spark.engine import validate
+from anzlic_validator_spark.engine import dataset_rule_violations, is_record_key, validate
 from anzlic_validator_spark.manifest import Manifest, input_snapshot
-from anzlic_validator_spark.rules import load_catalog
+from anzlic_validator_spark.rules import Rule, RuleCatalog, load_catalog
+from anzlic_validator_spark.schema import VIOLATION_FIELDS
 from anzlic_validator_spark.sources.tables import read_clips
+
+# reserved partition for table-/group-level violations ('__table__',
+# '__group__|...'): excluded from resume accounting and always recomputed,
+# so a partial resume can never overwrite a completed bucket's per-record
+# rows with a lone table-level row (and vice versa)
+RESERVED_BUCKET = -1
+
+# output schemas (explicit, so an all-clean run — zero violation files — is
+# still readable without parquet schema inference)
+VIOLATIONS_OUT_SCHEMA = "key string, rule_id string, observed string, expected string, bucket int"
+VERDICTS_OUT_SCHEMA = (
+    "key string, passed boolean, first_rule_id string, n_violations bigint, bucket int"
+)
+
+
+def read_violations(spark: SparkSession, output: str) -> DataFrame:
+    return spark.read.schema(VIOLATIONS_OUT_SCHEMA).parquet(f"{output}/violations")
+
+
+def read_verdicts(spark: SparkSession, output: str) -> DataFrame:
+    return spark.read.schema(VERDICTS_OUT_SCHEMA).parquet(f"{output}/verdicts")
 
 
 def bucket_col(key_col: str, n_buckets: int):
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    # cast to string BEFORE hashing: xxhash64(int) != xxhash64(string), and
+    # output/manifest bucketing hashes the string-cast violation key — all
+    # three bucket computations must agree for non-string key columns
+    return F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def _is_global_rule(rule: Rule, df: DataFrame) -> bool:
+    """Rules whose groups are NOT functions of the record key: their
+    violations can span hash buckets, so they are evaluated over the FULL
+    (unpruned) input on every run and routed to the reserved bucket."""
+    if rule.type == "drift":
+        return True
+    if rule.type == "all_of":
+        if rule.get("group_by"):
+            return True
+        col = str(rule.get("column"))
+        # array-typed all_of is a per-record check (record-keyed → bucket-safe)
+        return not dict(df.dtypes).get(col, "").startswith("array")
+    return False
+
+
+def _delete_partition_dirs(spark: SparkSession, base: str, buckets: list[int]) -> None:
+    """Drop partition dirs before a dynamic-overwrite write: a revalidated
+    bucket whose new run produces ZERO rows writes no partition, and dynamic
+    overwrite would silently keep the previous run's stale files."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for b in buckets:
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/bucket={b}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def run_validation(
@@ -77,20 +130,38 @@ def run_validation(
         return summary
 
     t0 = time.monotonic()
+    # table-global rules (drift; grouped/scalar all_of) are split out: they
+    # must see the UNPRUNED input even on a partial resume, and their
+    # synthetic keys route to the reserved bucket, never a key-hash bucket
+    global_rules = [r for r in catalog.dataset_rules if _is_global_rule(r, df)]
+    local_catalog = RuleCatalog(
+        rules=tuple(r for r in catalog.rules if r not in global_rules), version=catalog.version
+    )
+    df_full = df
     df = df.withColumn("bucket", bucket_col(key_col, n_buckets))
     if len(pending) < n_buckets:
         # resume: completed buckets pruned BEFORE any rule work — the
         # cache-hit short-circuit of the reference (cache.py:95-102)
         df = df.where(F.col("bucket").isin(pending))
 
-    result = validate(df, catalog, key_col=key_col, refs=refs)
+    result = validate(df, local_catalog, key_col=key_col, refs=refs)
     # three consumers follow (violations write, verdicts write, metrics agg);
     # persist the violation set so the expensive pass — the Arrow decode UDF
     # in particular — runs exactly once. Violations are a tiny fraction of
     # input rows, so this fits memory/disk easily at any scale.
     result.violations_ranked = result.violations_ranked.persist()
+    global_viol = None
+    if global_rules:
+        parts = [dataset_rule_violations(df_full, r, key_col, refs) for r in global_rules]
+        global_viol = parts[0]
+        for p in parts[1:]:
+            global_viol = global_viol.unionByName(p)
+        global_viol = global_viol.persist()
 
     # only the touched buckets are overwritten; completed ones stay intact.
+    # Partition dirs for pending buckets are DELETED first: dynamic overwrite
+    # only replaces partitions present in the new data, so a bucket whose
+    # revalidation yields zero violations would otherwise keep stale rows.
     # repartition on the bucket key first: without it every task writes a
     # sliver into every bucket dir (tasks × buckets tiny files + a serial
     # driver-side commit of thousands of files — an anti-pattern that gets
@@ -98,13 +169,25 @@ def run_validation(
     # file per bucket per run.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     b = bucket_col("key", n_buckets).alias("bucket")
+    _delete_partition_dirs(spark, f"{output}/violations", pending)
+    _delete_partition_dirs(spark, f"{output}/verdicts", pending)
     (
-        result.violations.withColumn("bucket", b)
+        result.violations.where(is_record_key("key"))
+        .withColumn("bucket", b)
         .repartition(len(pending), "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{output}/violations")
     )
+    if global_viol is not None:
+        # reserved bucket: full-dir static overwrite every run (global rules
+        # are recomputed over the whole input regardless of resume state)
+        (
+            global_viol.select(*VIOLATION_FIELDS)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{output}/violations/bucket={RESERVED_BUCKET}")
+        )
     (
         result.verdicts.withColumn("bucket", b)
         .repartition(len(pending), "bucket")
@@ -113,7 +196,10 @@ def run_validation(
         .parquet(f"{output}/verdicts")
     )
     metrics_rows = result.partition_summary(n_buckets=n_buckets).collect()
+    table_violations = int(global_viol.count()) if global_viol is not None else 0
     result.violations_ranked.unpersist()
+    if global_viol is not None:
+        global_viol.unpersist()
     wall = time.monotonic() - t0
     bucket_metrics = {
         int(r.bucket): {
@@ -134,6 +220,7 @@ def run_validation(
     summary["rows"] = sum(m["rows"] for m in bucket_metrics.values())
     summary["violations"] = sum(m["violations"] for m in bucket_metrics.values())
     summary["failed_rows"] = sum(m["failed_rows"] for m in bucket_metrics.values())
+    summary["table_violations"] = table_violations
     return summary
 
 

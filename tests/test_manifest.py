@@ -7,7 +7,7 @@ import os
 import pytest
 
 from anzlic_validator_spark.manifest import Manifest, input_snapshot
-from anzlic_validator_spark.run import run_validation
+from anzlic_validator_spark.run import read_violations, run_validation
 from anzlic_validator_spark.synth import clips, transcript_index
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -33,7 +33,7 @@ def _run(spark, data_dir, out, **kw):
 
 def _violations(spark, out):
     return sorted(
-        map(tuple, spark.read.parquet(f"{out}/violations").select(
+        map(tuple, read_violations(spark, str(out)).select(
             "key", "rule_id", "observed", "expected").collect())
     )
 
@@ -79,6 +79,72 @@ def test_dry_run_writes_nothing(spark, data_dir, tmp_path):
     assert s["dry_run"] and s["pending_buckets"] == list(range(8))
     assert not (out / "manifest.json").exists()
     assert not (out / "violations").exists()
+
+
+def test_clean_rerun_clears_stale_violations(spark, data_dir, tmp_path):
+    # ADVICE r01 (high): with dynamic partition overwrite, a revalidated
+    # bucket that now produces ZERO violations must not retain prior-run rows
+    out = tmp_path / "out"
+    _run(spark, data_dir, out)
+    assert _violations(spark, out)
+    # new catalog under which every row passes → all buckets revalidate
+    alt = tmp_path / "alt_rules.yaml"
+    alt.write_text(
+        "version: 1\nrules:\n  - {id: clip_id.exists, type: exists, column: clip_id}\n"
+    )
+    s = _run(spark, data_dir, out, catalog=str(alt))
+    assert s["pending_buckets"] == list(range(8)) and s["violations"] == 0
+    assert _violations(spark, out) == []
+
+
+def test_global_rules_reserved_bucket_and_full_scope(spark, data_dir, tmp_path):
+    # ADVICE r01 (medium): table-/group-level rules route to bucket=-1 and
+    # are evaluated over the UNPRUNED input even on a partial resume
+    out = tmp_path / "out"
+    alt = tmp_path / "global_rules.yaml"
+    alt.write_text(
+        "version: 1\n"
+        "rules:\n"
+        "  - {id: clip_id.format, type: format, column: clip_id, pattern: '^clip-'}\n"
+        "  - {id: codec.all_of, type: all_of, column: codec,\n"
+        "     values: [pcm_s16le, wav, flacz, opus]}\n"  # 'opus' never appears
+    )
+    s1 = _run(spark, data_dir, out, catalog=str(alt))
+    assert s1["table_violations"] == 1
+    vdf = read_violations(spark, str(out))
+    reserved = vdf.where(vdf.bucket == -1).collect()
+    assert len(reserved) == 1 and reserved[0].key == "__table__"
+    assert "Missing [opus]" in reserved[0].observed
+    # reserved keys never appear in key-hash buckets or verdicts
+    assert vdf.where((vdf.bucket != -1) & vdf.key.startswith("__")).count() == 0
+    verd = spark.read.parquet(f"{out}/verdicts")
+    assert verd.where(verd.key.startswith("__")).count() == 0
+    n_record_viol = vdf.where(vdf.bucket != -1).count()
+    # partial resume: drop one bucket; global rule recomputed over FULL input
+    mpath = out / "manifest.json"
+    doc = json.loads(mpath.read_text())
+    del doc["buckets"]["3"]
+    mpath.write_text(json.dumps(doc))
+    s2 = _run(spark, data_dir, out, catalog=str(alt))
+    assert s2["pending_buckets"] == [3] and s2["table_violations"] == 1
+    vdf2 = read_violations(spark, str(out))
+    assert vdf2.where(vdf2.bucket == -1).count() == 1
+    # per-record violations of completed buckets are untouched
+    assert vdf2.where(vdf2.bucket != -1).count() == n_record_viol
+
+
+def test_bucket_col_string_cast_consistency(spark):
+    # ADVICE r01 (medium): bucket of an int key must equal the bucket of its
+    # string form, so resume pruning agrees with output/manifest bucketing
+    from anzlic_validator_spark.run import bucket_col
+
+    df = spark.range(0, 1000).select(
+        bucket_col("id", 16).alias("b_int"),
+    )
+    df2 = spark.range(0, 1000).selectExpr("cast(id as string) AS id").select(
+        bucket_col("id", 16).alias("b_str")
+    )
+    assert [r.b_int for r in df.collect()] == [r.b_str for r in df2.collect()]
 
 
 def test_input_snapshot_sensitivity(tmp_path):

@@ -102,7 +102,8 @@ def test_all_of_grouped(spark):
     )
     rows = validate(df, cat, key_col="g").violations.collect()
     assert len(rows) == 1
-    assert rows[0].key == "g2" and rows[0].observed == "Missing [b]"
+    # group keys live in the reserved "__" namespace (never record keys)
+    assert rows[0].key == "__group__|g2" and rows[0].observed == "Missing [b]"
 
 
 def test_all_of_array_column(spark):
