@@ -50,9 +50,20 @@ def _empty_violations(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], _INTERNAL_SCHEMA)
 
 
-# rule types that fold into the single-scan row pass (joins and the Arrow
-# decode UDF included — they augment the row stream, they don't re-scan it)
-_SCAN_FUSED = {"referential", "referential_mapped", "audio_decode"}
+def _fuse_in_scan(rule: Rule) -> bool:
+    """Rules that fold into the single-scan row pass (they augment the row
+    stream rather than re-scanning it). Referential rules fuse ONLY when the
+    authority is broadcast: fusing a sort-merge join would shuffle the full
+    row — including the binary payload — on the join key. Non-broadcast
+    referential rules instead run on a pruned (key, column) projection
+    (operators/referential.referential_violations) and union their rows in,
+    keeping ``bytes`` shuffle-free at any authority size.
+    """
+    if rule.type == "audio_decode":
+        return True
+    if rule.type in ("referential", "referential_mapped"):
+        return bool(rule.get("broadcast", False))
+    return False
 
 
 def single_scan_violations(
@@ -75,6 +86,8 @@ def single_scan_violations(
     structs = compile_row_rules(catalog.row_rules)
     aug = df
     for rule in catalog.dataset_rules:
+        if not _fuse_in_scan(rule):
+            continue
         if rule.type == "referential":
             aug, s = augment_referential(aug, rule, key_col, refs)
             structs.append(s)
@@ -102,6 +115,7 @@ def dataset_rule_violations(
     """Rules that genuinely need their own aggregate pass (their scans are
     pruned to the rule's columns — never the binary payload)."""
     from anzlic_validator_spark.operators.drift import drift_violations
+    from anzlic_validator_spark.operators.referential import referential_violations
     from anzlic_validator_spark.operators.setcover import all_of_violations
     from anzlic_validator_spark.operators.uniqueness import unique_violations
 
@@ -111,6 +125,8 @@ def dataset_rule_violations(
         return all_of_violations(df, rule, key_col)
     if rule.type == "drift":
         return drift_violations(df, rule, key_col)
+    if rule.type in ("referential", "referential_mapped"):
+        return referential_violations(df, rule, key_col, refs)
     raise InvalidConfigException(f"unknown dataset rule type: {rule.type}")
 
 
@@ -202,7 +218,7 @@ def validate(
         raise InvalidConfigException(f"catalog references unknown columns: {sorted(set(missing))}")
     parts = [single_scan_violations(df, catalog, key_col, refs)]
     for rule in catalog.dataset_rules:
-        if rule.type in _SCAN_FUSED:
+        if _fuse_in_scan(rule):
             continue  # already folded into the single-scan pass
         parts.append(dataset_rule_violations(df, rule, key_col, refs))
     violations = parts[0]

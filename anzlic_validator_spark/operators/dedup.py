@@ -8,8 +8,10 @@ Arrow pandas UDF (bit-level ops over variable-length token lists don't
 compose from built-ins).
 
 Scale notes per operator:
-- exact_duplicates: hash-groupBy on a 64-bit fingerprint (map-side combined);
-  group on the hash, not the document body, so shuffle rows stay tiny.
+- exact_duplicates: hash-groupBy on a 192-bit composite fingerprint
+  (md5+xxhash64+length, map-side combined); group on the fingerprint, not
+  the document body, so shuffle rows stay tiny; optional exact-equality
+  verify pass over candidate groups only.
 - MinHash+LSH: signatures computed per-row (no shuffle), band buckets
   explode rows ×n_bands, the bucket groupBy is the only shuffle; candidate
   verification joins shingle sets back only for candidate pairs (a vanishing
@@ -20,12 +22,48 @@ Scale notes per operator:
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
+
+
+def _drop_oversized_buckets(
+    buckets: DataFrame, bucket_cols: list[str], max_bucket_size: int | None, what: str
+) -> DataFrame:
+    """Guard against degenerate LSH buckets (empty docs, boilerplate): one
+    hot bucket makes the within-bucket self-join quadratic. Buckets above
+    ``max_bucket_size`` are EXCLUDED from candidate generation, with a logged
+    bucket/row census (never silent). The size agg sees only the tiny
+    (id, bucket-key) projection; the oversized set is broadcast to the
+    anti-join. Run exact dedup first — a hot bucket is nearly always a pile
+    of byte-identical docs the exact pass already collapses — and treat the
+    logged census as a data-quality signal, not noise.
+    """
+    if max_bucket_size is None:
+        return buckets
+    oversized = (
+        buckets.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .where(F.col("__bsz") > max_bucket_size)
+    )
+    stats = oversized.agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum("__bsz").alias("n_rows")
+    ).first()
+    if stats and stats.n_buckets:
+        log.warning(
+            "%s: dropped %d oversized LSH buckets (> %d rows) covering %d bucket-rows "
+            "from candidate generation — pairs confined to those buckets are not reported",
+            what, stats.n_buckets, max_bucket_size, stats.n_rows,
+        )
+    return buckets.join(
+        F.broadcast(oversized.select(*bucket_cols)), on=bucket_cols, how="left_anti"
+    )
 
 
 # ---------------------------------------------------------------- exact
@@ -37,17 +75,53 @@ def text_fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(toks, " "))
 
 
-def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    verify: bool = False,
+    fingerprint: Column | None = None,
+) -> DataFrame:
     """Groups of byte-identical texts → (grp_hash, n_docs, canonical_id).
 
     canonical_id = min id (the survivor a dedup pass would keep).
+
+    Group key is a 192-bit composite fingerprint (md5 + xxhash64 + length):
+    a bare 64-bit hash at 10^12 docs expects ~10^4 birthday-colliding pairs
+    (false duplicates); the composite drops the expectation to ~10^-34 while
+    shuffle rows stay ~50 bytes. ``verify=True`` adds an exact equality pass:
+    rows whose fingerprint group has >1 member are re-grouped by the text
+    itself, so ONLY the candidate-duplicate fraction ever shuffles document
+    bodies — use it for audits or when the fingerprint is overridden.
+
+    ``fingerprint`` overrides the group-key expression (must be a pure
+    function of the text column); used by tests to force collisions and by
+    callers that precomputed a content hash at ingest.
     """
-    h = F.xxhash64(F.col(text_col)).alias("grp_hash")
+    col = F.col(text_col)
+    fp = fingerprint if fingerprint is not None else F.struct(
+        F.md5(col).alias("h128"), F.xxhash64(col).alias("h64"), F.length(col).alias("len")
+    )
+    if not verify:
+        return (
+            df.select(fp.alias("grp_hash"), F.col(id_col))
+            .groupBy("grp_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+            .where(F.col("n_docs") > 1)
+        )
+    base = df.select(fp.alias("grp_hash"), F.col(id_col), col.alias("__text"))
+    cand_groups = (
+        base.groupBy("grp_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("grp_hash")
+    )
+    candidates = base.join(cand_groups, on="grp_hash", how="inner")
     return (
-        df.select(h, F.col(id_col))
-        .groupBy("grp_hash")
+        candidates.groupBy("grp_hash", "__text")  # exact: the text IS the key
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
         .where(F.col("n_docs") > 1)
+        .select("grp_hash", "n_docs", "canonical_id")
     )
 
 
@@ -101,6 +175,7 @@ def minhash_near_duplicates(
     num_hashes: int = 63,
     n_bands: int = 21,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
@@ -132,6 +207,7 @@ def minhash_near_duplicates(
     buckets = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", "bb.band", "bb.bh"
     )
+    buckets = _drop_oversized_buckets(buckets, ["band", "bh"], max_bucket_size, "minhash_lsh")
     left = buckets.alias("l")
     right = buckets.alias("r")
     candidates = (
@@ -171,60 +247,85 @@ def exact_jaccard_pairs(
 
 # ---------------------------------------------------------------- simhash
 
+@F.pandas_udf(T.LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash signature — fully vectorized numpy kernel.
+
+    Per-occurrence bit votes (duplicate tokens vote repeatedly, the standard
+    Charikar weighting by term frequency). The only per-item Python is one
+    md5 per DISTINCT token in the Arrow batch; the vote accumulation is a
+    single ``np.add.reduceat`` over the flattened token stream. Token hash =
+    first 8 md5 bytes little-endian — stable across processes/versions (and
+    re-expressible in the DuckDB oracle), unlike builtin ``hash``.
+    """
+    tok_lists = [(t or "").split(" ") for t in texts]
+    if not tok_lists:
+        return pd.Series(np.zeros(0, dtype=np.int64))
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat = np.array([tok for toks in tok_lists for tok in toks], dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little") for u in uniq),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2) - 1  # (uniq, 64)
+    offsets = np.zeros(len(tok_lists), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    votes = np.add.reduceat(bits[inv], offsets, axis=0)  # lens >= 1 always ('' splits to [''])
+    sig = np.where(votes > 0, (np.uint64(1) << shifts), np.uint64(0)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pd.Series(np.ascontiguousarray(sig).view(np.int64))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
     n_tables: int = 4,
+    subkey_bits: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash (64-bit) near-dup pairs within a Hamming radius.
 
-    Signature via an Arrow pandas UDF (vectorized numpy bit voting); LSH by
-    splitting the 64-bit key into ``n_tables`` 16-bit sub-keys — any pair
-    within Hamming distance n_tables-1 shares at least one sub-key
-    (pigeonhole), so candidate recall is exact for max_hamming < n_tables.
+    LSH splits the 64-bit key into ``n_tables`` disjoint ``subkey_bits``-wide
+    sub-keys — any pair within Hamming distance n_tables-1 shares at least
+    one sub-key (pigeonhole; holds for any sub-key coverage as long as
+    n_tables > max_hamming, since ≤ max_hamming differing bits can touch at
+    most max_hamming of the n_tables chunks). Candidate recall is exact; the
+    Hamming filter afterwards is exact; ``max_bucket_size`` bounds degenerate
+    buckets (see _drop_oversized_buckets — capped buckets are logged, and
+    capping can only lose pairs confined to dropped buckets).
+
+    Sizing at scale: sub-key width bounds the table count (w = 64 // t), so
+    a web-scale corpus tunes max_bucket_size rather than w — expected bucket
+    size is n / 2^w per table for idealized uniform keys, but REAL corpora
+    concentrate mass in a few buckets (near-empty docs, boilerplate), which
+    is exactly what the cap handles.
     """
-
-    @F.pandas_udf(T.LongType())
-    def simhash64(texts: pd.Series) -> pd.Series:
-        shifts = np.arange(64, dtype=np.uint64)
-        powers = (np.uint64(1) << shifts).astype(np.uint64)
-        # per-token 64-bit hash via a stable md5-based fold; memoized per
-        # batch — vocabularies repeat heavily, so this converts the kernel
-        # from O(rows × tokens) hashing to O(distinct tokens)
-        bit_cache: dict[str, np.ndarray] = {}
-
-        def token_bits(tok: str) -> np.ndarray:
-            bits = bit_cache.get(tok)
-            if bits is None:
-                h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little"))
-                bits = (((h >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
-                bit_cache[tok] = bits
-            return bits
-
-        out = np.zeros(len(texts), dtype=np.int64)
-        for j, t in enumerate(texts):
-            toks = (t or "").split(" ")
-            if not toks:
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                votes += token_bits(tok)
-            out[j] = np.int64((powers[votes > 0]).sum(dtype=np.uint64).astype(np.int64))
-        return pd.Series(out)
-
-    base = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    if n_tables <= max_hamming:
+        raise ValueError(
+            f"pigeonhole requires n_tables > max_hamming, got {n_tables} <= {max_hamming}"
+        )
+    w = subkey_bits if subkey_bits is not None else 64 // n_tables
+    if w < 1 or n_tables * w > 64:
+        raise ValueError(f"n_tables*subkey_bits must fit in 64 bits, got {n_tables}x{w}")
+    mask = (1 << w) - 1
+    base = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
     subkeys = [
         F.struct(
             F.lit(t).alias("tbl"),
-            F.shiftright(F.col("sig"), t * 16).bitwiseAND(F.lit(0xFFFF)).alias("sub"),
+            F.shiftright(F.col("sig"), t * w).bitwiseAND(F.lit(mask)).alias("sub"),
         )
         for t in range(n_tables)
     ]
     buckets = base.select("id", "sig", F.explode(F.array(*subkeys)).alias("b")).select(
         "id", "sig", "b.tbl", "b.sub"
     )
+    buckets = _drop_oversized_buckets(buckets, ["tbl", "sub"], max_bucket_size, "simhash_lsh")
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(r, on=["tbl", "sub"], how="inner")

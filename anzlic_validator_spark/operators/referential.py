@@ -135,6 +135,34 @@ def augment_referential_mapped(
     return joined, struct
 
 
+def referential_violations(
+    df: DataFrame, rule: Rule, key_col: str, refs: dict[str, DataFrame]
+) -> DataFrame:
+    """Non-broadcast referential path: violation rows from a PRUNED
+    (key, join_on, column) projection, so the sort-merge shuffle of a large
+    authority carries three scalars per row — never the full record and in
+    particular never the binary payload (the fused-in-scan variant would
+    drag ``bytes`` through the exchange; at 100 TB that shuffle IS the job —
+    multimodal doctrine: never explode binary columns through a shuffle).
+    The resulting violations are unioned with the single-scan pass instead
+    of riding it; semantics are identical because the authority key is
+    unique (same contract as the fused path).
+    """
+    join_on = str(rule.get("join_on", rule.get("key", key_col)))
+    col = str(rule.get("column"))
+    cols = list(dict.fromkeys([key_col, join_on, col]))  # de-dup, keep order
+    pruned = df.select(*[F.col(c) for c in cols])
+    augment = (
+        augment_referential_mapped if rule.type == "referential_mapped" else augment_referential
+    )
+    aug, struct = augment(pruned, rule, key_col, refs)
+    return (
+        aug.select(F.col(key_col).cast("string").alias("key"), struct.alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .select("key", "__v.rule_id", "__v.observed", "__v.expected", "__v.rule_order")
+    )
+
+
 def _lookup_ref(rule: Rule, refs: dict[str, DataFrame]) -> DataFrame:
     name = rule.get("ref_table")
     if name not in refs:

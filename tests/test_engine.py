@@ -151,3 +151,77 @@ def test_format_rule(spark):
     )
     v = _viol_map(validate(df, cat, key_col="k"))
     assert set(v) == {"b"}
+
+
+def _exchanges_carrying(df, colname):
+    """Formatted-plan Exchange nodes whose input/output mentions colname."""
+    import re
+
+    jvm = df.sparkSession._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    sections = re.split(r"\n\(\d+\) ", plan)
+    return [s.splitlines()[0] for s in sections if s.startswith("Exchange") and colname in s]
+
+
+def test_nonbroadcast_referential_never_shuffles_bytes(spark):
+    """A sort-merge referential join must not drag the binary payload
+    through its exchange: the non-broadcast path runs on a pruned
+    (key, column) projection while the audio pass rides the single scan."""
+    from anzlic_validator_spark.synth import clips, transcript_index
+
+    df = clips(spark, 120, seed=42)
+    idx = transcript_index(spark, 120, seed=42)
+    cat = parse_catalog(
+        {
+            "rules": [
+                {"id": "clips.audio", "type": "audio_decode", "ref_seed": 42},
+                {
+                    "id": "t.ref",
+                    "type": "referential",
+                    "column": "transcript",
+                    "key": "clip_id",
+                    "ref_table": "transcript_index",
+                    "ref_key": "clip_id",
+                    "ref_column": "transcript_ref",
+                },
+            ]
+        }
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        v = validate(df, cat, key_col="clip_id", refs={"transcript_index": idx}).violations
+        assert _exchanges_carrying(v, "bytes") == []
+        assert v.count() >= 0  # plan executes
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_broadcast_referential_stays_fused(spark):
+    """broadcast=True keeps the referential check on the single scan (no
+    extra pass, no exchange at all for the join)."""
+    from anzlic_validator_spark.synth import clips, transcript_index
+
+    df = clips(spark, 120, seed=42, with_audio=False)
+    idx = transcript_index(spark, 120, seed=42)
+    cat = parse_catalog(
+        {
+            "rules": [
+                {
+                    "id": "t.ref",
+                    "type": "referential",
+                    "column": "transcript",
+                    "key": "clip_id",
+                    "broadcast": True,
+                    "ref_table": "transcript_index",
+                    "ref_key": "clip_id",
+                    "ref_column": "transcript_ref",
+                },
+            ]
+        }
+    )
+    v = validate(df, cat, key_col="clip_id", refs={"transcript_index": idx}).violations
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert v.count() >= 0

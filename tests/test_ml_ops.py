@@ -26,6 +26,57 @@ def test_exact_duplicates(spark):
     assert len(rows) == 1 and rows[0].n_docs == 3 and rows[0].canonical_id == 1
 
 
+def test_exact_duplicates_verify_rejects_fingerprint_collisions(spark):
+    # force a degenerate fingerprint (length only) so distinct texts collide:
+    # without verify they'd be reported as duplicates; the verify pass
+    # re-groups candidate rows by the text itself and must reject them
+    df = spark.createDataFrame(
+        [Row(id=1, t="a b c"), Row(id=2, t="x y z"),  # collide on length
+         Row(id=3, t="same doc"), Row(id=4, t="same doc")]
+    )
+    weak = F.struct(F.length(F.col("t")).alias("len"))
+    false_pairs = exact_duplicates(df, "t", "id", fingerprint=weak).collect()
+    assert any(r.n_docs == 2 and r.canonical_id == 1 for r in false_pairs)  # the hazard
+    verified = exact_duplicates(df, "t", "id", fingerprint=weak, verify=True).collect()
+    assert len(verified) == 1
+    assert verified[0].canonical_id == 3 and verified[0].n_docs == 2
+
+
+def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
+    # 10^4 byte-identical docs: every LSH bucket they land in holds 10^4 rows
+    # → uncapped, the within-bucket self-join is ~10^8 candidate pairs; with
+    # the cap those buckets are dropped (logged) and the job stays linear.
+    # (Exact dedup is the right tool for identical docs — see dedup.py notes.)
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id"), F.lit("boilerplate header lorem ipsum dolor sit amet").alias("t")
+    )
+    mh = minhash_near_duplicates(df, "t", "id", threshold=0.6, max_bucket_size=100)
+    assert mh.count() == 0
+    sh = simhash_near_duplicates(df, "t", "id", max_hamming=3, max_bucket_size=100)
+    assert sh.count() == 0
+
+
+def test_simhash_lsh_parameter_validation(spark):
+    df = spark.createDataFrame([Row(id=1, t="a")])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(df, "t", "id", max_hamming=4, n_tables=4)
+    with pytest.raises(ValueError, match="fit in 64 bits"):
+        simhash_near_duplicates(df, "t", "id", n_tables=8, subkey_bits=16)
+
+
+def test_simhash_subkey_width_recall_invariant(spark, dup_corpus):
+    # pigeonhole holds for any subkey width with n_tables > max_hamming:
+    # narrower sub-keys (more candidates) must return the SAME verified pairs
+    a = {(r.a_id, r.b_id, r.hamming) for r in
+         simhash_near_duplicates(dup_corpus, "t", "id", max_hamming=8,
+                                 n_tables=9, subkey_bits=7).collect()}
+    b = {(r.a_id, r.b_id, r.hamming) for r in
+         simhash_near_duplicates(dup_corpus, "t", "id", max_hamming=8,
+                                 n_tables=12, subkey_bits=5).collect()}
+    assert a == b and a
+
+
 def test_shingles_and_jaccard(spark):
     df = spark.createDataFrame([Row(a="w1 w2 w3 w4", b="w1 w2 w3 w5")])
     out = df.select(
@@ -66,8 +117,11 @@ def test_minhash_finds_planted_pairs(spark, dup_corpus):
 
 
 def test_simhash_finds_planted_pairs(spark, dup_corpus):
+    # n_tables must exceed max_hamming for exact candidate recall (the
+    # round-1 default of 4 tables silently voided the guarantee at radius 8)
     pairs = {(r.a_id, r.b_id) for r in
-             simhash_near_duplicates(dup_corpus, "t", "id", max_hamming=8).collect()}
+             simhash_near_duplicates(dup_corpus, "t", "id",
+                                     max_hamming=8, n_tables=9).collect()}
     planted = {(d, 1000 + d) for d in range(30) if d % 6 == 0}
     assert planted <= pairs
 
