@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_events": demo.q_hist_events,
         "report_orders": demo.q_report_orders,
         "events_rules": demo.q_events_rules,
+        "conditional_any_of": demo.q_conditional_any_of,
         "dedup_exact": demo_ml.q_dedup_exact,
         "dedup_minhash": demo_ml.q_dedup_minhash,
         "dedup_simhash": demo_ml.q_dedup_simhash,
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_events": demo.SQL_HIST_EVENTS,
         "report_orders": demo.SQL_REPORT_ORDERS,
         "events_rules": demo.SQL_EVENTS_RULES,
+        "conditional_any_of": demo.SQL_CONDITIONAL_ANY_OF,
         "dedup_exact": demo_ml.SQL_DEDUP_EXACT,
         "dedup_minhash": demo_ml.SQL_DEDUP_MINHASH,
         "ann_bruteforce": demo_ml.SQL_ANN_BRUTEFORCE,

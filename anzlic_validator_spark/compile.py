@@ -169,6 +169,37 @@ def compile_row_rule(rule: Rule) -> list[Column]:
         inner = Rule(rule_id=rule.rule_id, type=inner.type, order=rule.order, spec=inner.spec)
         return [F.when(cond, struct_col) for struct_col in compile_row_rule(inner)]
 
+    if t == "any_of":
+        # disjunctive composition — the reference's conditional requires
+        # "bounding box OR geographic description" (validate.py:205-215):
+        # the record passes if ANY alternative passes; a violation is
+        # emitted only when EVERY alternative fails, reporting each
+        # alternative's own observation.
+        from anzlic_validator_spark.rules import _validate_spec
+
+        sub_structs: list[Column] = []
+        descs: list[str] = []
+        for j, raw in enumerate(rule.get("rules")):
+            inner = _validate_spec(rule.order, dict(raw))
+            sub = Rule(
+                rule_id=f"{rule.rule_id}[{j}]", type=inner.type, order=rule.order, spec=inner.spec
+            )
+            cols = compile_row_rule(sub)
+            # a multi-struct alternative (empty_scan) fails if any of its
+            # structs fires — coalesce gives "first non-null" semantics
+            sub_structs.append(cols[0] if len(cols) == 1 else F.coalesce(*cols))
+            descs.append(str(raw.get("column") or inner.type))
+        all_fail = sub_structs[0].isNotNull()
+        for s in sub_structs[1:]:
+            all_fail = all_fail & s.isNotNull()
+        observed = F.concat_ws(
+            "; ",
+            *[F.concat(F.lit(d + "="), F.coalesce(s["observed"], F.lit("ok")))
+              for d, s in zip(descs, sub_structs)],
+        )
+        expected = "any of [" + ",".join(descs) + "]"
+        return [F.when(all_fail, _viol(rule, "incorrect", observed, expected))]
+
     if t == "empty_scan":
         # whole-record blank scan (emptyTagCheck, errorChecker.py:534-545):
         # one violation struct per scanned column

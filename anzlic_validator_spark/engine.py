@@ -235,11 +235,13 @@ def _rule_columns(rule: Rule) -> list[str]:
         cols.append(str(rule.get("column")))
     if isinstance(rule.get("columns"), (list, tuple)):
         cols.extend(str(c) for c in rule.get("columns"))
+    if rule.type == "any_of":
+        for sub in rule.get("rules") or []:
+            cols.extend(_rule_columns(Rule("", str(sub.get("type")), rule.order, dict(sub))))
     if rule.type == "conditional":
         when = rule.get("when") or {}
         if when.get("column"):
             cols.append(str(when["column"]))
-        then = rule.get("then") or {}
-        if then.get("column"):
-            cols.append(str(then["column"]))
+        then = dict(rule.get("then") or {})
+        cols.extend(_rule_columns(Rule("", str(then.get("type")), rule.order, then)))
     return cols

@@ -484,3 +484,43 @@ SELECT key, 'eq.incorrect', event_type || ',' || etype_rev,
        'all equal: event_type,etype_rev'
 FROM ev WHERE event_type IS DISTINCT FROM etype_rev
 """
+
+# --------------------------------------------------------------------------
+# disjunctive conditional (R17 full parity): the reference's "bounding box OR
+# geographic description" rule (validate.py:205-215) — when the guard holds,
+# at least one alternative must pass; a violation reports every alternative's
+# own failure observation
+# --------------------------------------------------------------------------
+
+ANY_OF_CATALOG = {
+    "rules": [
+        {
+            "id": "geo",
+            "type": "conditional",
+            "when": {"column": "event_type", "equals": "error"},
+            "then": {
+                "type": "any_of",
+                "rules": [
+                    {"type": "range", "column": "value", "max": 50},
+                    {"type": "format", "column": "props", "pattern": '"k": [0-5]'},
+                ],
+            },
+        }
+    ]
+}
+
+
+def q_conditional_any_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return validate(ev, parse_catalog(ANY_OF_CATALOG), key_col="event_id").violations
+
+
+SQL_CONDITIONAL_ANY_OF = """
+SELECT CAST(event_id AS VARCHAR) AS key,
+       'geo.incorrect' AS rule_id,
+       'value=' || CAST(value AS VARCHAR) || '; props=' || props AS observed,
+       'any of [value,props]' AS expected
+FROM events
+WHERE event_type = 'error' AND value > 50
+  AND NOT regexp_matches(props, '"k": [0-5]')
+"""

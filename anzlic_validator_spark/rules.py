@@ -71,6 +71,7 @@ _RULE_KEYS: dict[str, set[str]] = {
     "not_both": {"columns"},
     "equal_fields": {"columns"},
     "conditional": {"when", "then"},
+    "any_of": {"rules"},
     "audio_decode": {
         "bytes_column",
         "codec_column",
@@ -95,6 +96,7 @@ ROW_TYPES = {
     "equal_fields",
     "conditional",
     "empty_scan",
+    "any_of",
 }
 # types needing a dataset-level operator (shuffle / join / UDF / table agg)
 DATASET_TYPES = {
@@ -175,8 +177,23 @@ def _validate_spec(idx: int, raw: dict[str, Any]) -> Rule:
             raise InvalidConfigException(
                 f"rule #{idx} (conditional): 'then' must be a row-level rule, got {then_type!r}"
             )
-        # validate the nested spec too (recursion depth 1)
+        # validate the nested spec too (any_of in 'then' covers the
+        # reference's disjunctive conditional — "bounding box OR geographic
+        # description", validate.py:205-215)
         _validate_spec(idx, raw["then"])
+    if rtype == "any_of":
+        subs = raw.get("rules")
+        if not isinstance(subs, (list, tuple)) or len(subs) < 2:
+            raise InvalidConfigException(
+                f"rule #{idx} (any_of): 'rules' must list >= 2 alternatives"
+            )
+        for sub in subs:
+            sub_type = sub.get("type") if isinstance(sub, dict) else None
+            if sub_type not in ROW_TYPES - {"conditional", "any_of"}:
+                raise InvalidConfigException(
+                    f"rule #{idx} (any_of): alternatives must be simple row rules, got {sub_type!r}"
+                )
+            _validate_spec(idx, sub)
     if rtype in ("referential", "referential_mapped"):
         for req in ("column", "key", "ref_key", "ref_column"):
             if not raw.get(req):

@@ -225,3 +225,91 @@ def test_broadcast_referential_stays_fused(spark):
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert v.count() >= 0
+
+
+def test_any_of_disjunction(spark):
+    """The reference's disjunctive conditional (validate.py:205-215):
+    pass if ANY alternative passes, violate only when all fail."""
+    df = spark.createDataFrame(
+        [
+            Row(k="bbox_ok", bbox="1 2 3 4", geo=None),
+            Row(k="geo_ok", bbox=None, geo="North Island"),
+            Row(k="both_ok", bbox="1 2 3 4", geo="North Island"),
+            Row(k="neither", bbox=None, geo=None),
+            Row(k="blank_both", bbox=" ", geo=""),
+        ]
+    )
+    cat = parse_catalog(
+        {
+            "rules": [
+                {
+                    "id": "extent",
+                    "type": "any_of",
+                    "rules": [
+                        {"type": "exists", "column": "bbox"},
+                        {"type": "exists", "column": "geo"},
+                    ],
+                }
+            ]
+        }
+    )
+    v = _viol_map(validate(df, cat, key_col="k"))
+    assert set(v) == {"neither", "blank_both"}
+    assert v["neither"] == [
+        ("extent.incorrect", "bbox=None; geo=None", "any of [bbox,geo]")
+    ]
+    assert v["blank_both"] == [
+        ("extent.incorrect", "bbox=''; geo=''", "any of [bbox,geo]")
+    ]
+
+
+def test_conditional_any_of(spark):
+    """when-guard + any_of 'then' — the exact reference rule shape."""
+    df = spark.createDataFrame(
+        [
+            ("guarded_fail", "dataset", None, None),
+            ("guarded_ok", "dataset", "1 2 3 4", None),
+            ("unguarded", "series", None, None),
+        ],
+        "k string, lvl string, bbox string, geo string",
+    )
+    cat = parse_catalog(
+        {
+            "rules": [
+                {
+                    "id": "extent",
+                    "type": "conditional",
+                    "when": {"column": "lvl", "equals": "dataset"},
+                    "then": {
+                        "type": "any_of",
+                        "rules": [
+                            {"type": "exists", "column": "bbox"},
+                            {"type": "exists", "column": "geo"},
+                        ],
+                    },
+                }
+            ]
+        }
+    )
+    v = _viol_map(validate(df, cat, key_col="k"))
+    assert set(v) == {"guarded_fail"}
+
+
+def test_any_of_validation_errors(spark):
+    from anzlic_validator_spark.errors import InvalidConfigException
+
+    with pytest.raises(InvalidConfigException, match=">= 2 alternatives"):
+        parse_catalog({"rules": [{"id": "x", "type": "any_of",
+                                  "rules": [{"type": "exists", "column": "a"}]}]})
+    with pytest.raises(InvalidConfigException, match="simple row rules"):
+        parse_catalog({"rules": [{"id": "x", "type": "any_of", "rules": [
+            {"type": "exists", "column": "a"},
+            {"type": "unique", "columns": ["a"]},
+        ]}]})
+    # unknown columns inside any_of alternatives are caught before any job
+    with pytest.raises(InvalidConfigException, match="unknown columns"):
+        df = spark.createDataFrame([Row(k="a", b="x")])
+        validate(df, parse_catalog({"rules": [{"id": "x", "type": "any_of", "rules": [
+            {"type": "exists", "column": "b"},
+            {"type": "exists", "column": "nope"},
+        ]}]}), key_col="k")
