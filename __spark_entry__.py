@@ -50,7 +50,7 @@ def _sf_rows(sf_dir: str, per_unit: int = 100000, floor: int = 1040) -> int:
     return max(floor, int(per_unit * sf))
 
 
-def _audio_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _audio_validate(spark: SparkSession, sf_dir: str):
     from anzlic_validator_spark.engine import validate
     from anzlic_validator_spark.rules import load_catalog
     from anzlic_validator_spark.synth import clips, transcript_index
@@ -59,20 +59,129 @@ def _audio_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = clips(spark, n, seed=42)
     idx = transcript_index(spark, n, seed=42)
     cat = load_catalog(os.path.join(_REPO, "configs/rules_default.yaml"))
-    return validate(df, cat, key_col="clip_id", refs={"transcript_index": idx}).violations
+    return validate(df, cat, key_col="clip_id", refs={"transcript_index": idx})
+
+
+def _audio_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full rule-catalog violations over the synthetic clips table as
+    (key, rule_id, n) — the generator plants every anomaly by row-index
+    arithmetic (synth.CATEGORIES), so the complete expected violation set,
+    including duplicate-key multiplicities, is expressible in closed-form
+    SQL over generate_series (SQL_AUDIO_VIOLATIONS): a real value oracle
+    for the Arrow decode path, not a rows-only check."""
+    from pyspark.sql import functions as F
+
+    res = _audio_validate(spark, sf_dir)
+    return res.violations.groupBy("key", "rule_id").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _audio_verdict_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from anzlic_validator_spark.engine import validate
-    from anzlic_validator_spark.rules import load_catalog
-    from anzlic_validator_spark.synth import clips, transcript_index
+    """Verdict tallies (A3): per first-violated-rule key counts + violation
+    row counts, including the passed bucket (first_rule_id NULL). Derived
+    from the same closed-form census as SQL_AUDIO_VIOLATIONS."""
+    from pyspark.sql import functions as F
 
-    n = _sf_rows(sf_dir)
-    df = clips(spark, n, seed=42)
-    idx = transcript_index(spark, n, seed=42)
-    cat = load_catalog(os.path.join(_REPO, "configs/rules_default.yaml"))
-    res = validate(df, cat, key_col="clip_id", refs={"transcript_index": idx})
-    return res.partition_summary(n_buckets=16)
+    res = _audio_validate(spark, sf_dir)
+    return res.verdicts.groupBy("first_rule_id").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_violations").alias("n_violations"),
+    )
+
+
+# Closed-form expected-violation census for clips(n=1040, seed=42) under
+# configs/rules_default.yaml — pure row-index arithmetic mirroring
+# synth.category_of / transcript_index hole-punching, independent of the
+# engine. The driver's correctness gate runs at sf0.01 → n = 1040.
+_AUDIO_CENSUS_CTE = """
+WITH ids AS (
+  SELECT CAST(r.range AS BIGINT) AS j FROM range(1040) r
+  WHERE r.range % 1000 < 940 OR r.range % 1000 >= 950  -- dup window rows replicate j-1..=base+939
+),
+c AS (
+  SELECT j,
+    CASE
+      WHEN j % 1000 BETWEEN 950 AND 954 THEN 'null_t'
+      WHEN j % 1000 BETWEEN 955 AND 959 THEN 'empty_t'
+      WHEN j % 1000 BETWEEN 960 AND 964 THEN 'bad_codec'
+      WHEN j % 1000 BETWEEN 965 AND 969 THEN 'sr_mis'
+      WHEN j % 1000 BETWEEN 970 AND 974 THEN 'dur_mis'
+      WHEN j % 1000 BETWEEN 975 AND 979 THEN 'corrupt'
+      WHEN j % 1000 BETWEEN 980 AND 989 THEN 'low_snr'
+      WHEN j % 1000 BETWEEN 990 AND 994 THEN 'bad_id'
+      WHEN j % 1000 BETWEEN 995 AND 999 THEN 'short_dur'
+      ELSE 'correct' END AS cat,
+    CASE WHEN j % 1000 = 939
+         THEN 1 + greatest(0, least(1040, j + 11) - (j + 1))
+         ELSE 1 END AS mult
+  FROM ids
+),
+r AS (
+  SELECT j, cat, CAST(mult AS BIGINT) AS mult,
+    CASE WHEN cat = 'bad_id' THEN 'CLIP_' || CAST(j AS VARCHAR)
+         ELSE 'clip-' || lpad(CAST(j AS VARCHAR), 12, '0') END AS key,
+    ((j % 101 <> 100) AND cat <> 'bad_id') AS joined,
+    CASE j % 3 WHEN 0 THEN 'pcm_s16le' WHEN 1 THEN 'wav' ELSE 'flacz' END AS expect_codec,
+    CASE WHEN j % 2 = 1 THEN 'wav' ELSE 'flacz' END AS srmis_codec
+  FROM c
+),
+expected AS (
+  SELECT key, 'clip_id.format.incorrect' AS rule_id, mult AS n FROM r WHERE cat = 'bad_id'
+  UNION ALL SELECT key, 'codec.in_set.incorrect', mult FROM r WHERE cat = 'bad_codec'
+  UNION ALL SELECT key, 'dur_ms.range.incorrect', mult FROM r WHERE cat = 'short_dur'
+  UNION ALL SELECT key, 'transcript.exists.missing', mult FROM r WHERE cat = 'null_t'
+  UNION ALL SELECT key, 'transcript.exists.empty', mult FROM r WHERE cat = 'empty_t'
+  UNION ALL SELECT key, 'transcript.referential.missing_ref', mult FROM r
+    WHERE cat = 'bad_id' OR j % 101 = 100
+  UNION ALL SELECT key, 'transcript.referential.incorrect', mult FROM r
+    WHERE joined AND (cat IN ('null_t', 'empty_t') OR j % 97 = 96)
+  UNION ALL SELECT key, 'codec.referential_mapped.incorrect', mult FROM r
+    WHERE joined AND (cat = 'bad_codec' OR (cat = 'sr_mis' AND srmis_codec <> expect_codec))
+  UNION ALL SELECT key, 'clips.audio.decode', mult FROM r WHERE cat IN ('bad_codec', 'corrupt')
+  UNION ALL SELECT key, 'clips.audio.sr', mult FROM r WHERE cat = 'sr_mis'
+  UNION ALL SELECT key, 'clips.audio.dur', mult FROM r WHERE cat IN ('dur_mis', 'sr_mis')
+  UNION ALL SELECT key, 'clips.audio.snr', mult FROM r WHERE cat IN ('low_snr', 'sr_mis')
+  UNION ALL SELECT key, 'clip_id.unique.incorrect', mult FROM r WHERE mult > 1
+)
+"""
+
+SQL_AUDIO_VIOLATIONS = _AUDIO_CENSUS_CTE + """
+SELECT key, rule_id, n FROM expected
+"""
+
+# verdict tallies from the same census: first rule per key by catalog order
+# (ties broken by rule_id string, matching the engine's min(struct) ranking);
+# passed keys = all 1030 distinct keys minus the violated ones
+SQL_AUDIO_VERDICT_SUMMARY = _AUDIO_CENSUS_CTE + """
+, ordered AS (
+  SELECT key, rule_id, n,
+    CASE
+      WHEN rule_id = 'clip_id.format.incorrect' THEN 1
+      WHEN rule_id = 'clip_id.unique.incorrect' THEN 2
+      WHEN rule_id = 'codec.in_set.incorrect' THEN 3
+      WHEN rule_id = 'dur_ms.range.incorrect' THEN 5
+      WHEN rule_id LIKE 'transcript.exists.%' THEN 6
+      WHEN rule_id LIKE 'transcript.referential.%' THEN 7
+      WHEN rule_id = 'codec.referential_mapped.incorrect' THEN 8
+      WHEN rule_id LIKE 'clips.audio.%' THEN 9
+    END AS ord
+  FROM expected
+),
+per_key AS (  -- min by (ord, rule_id) via a sortable tag (min_by lacks struct keys)
+  SELECT key,
+    substr(min(lpad(CAST(ord AS VARCHAR), 2, '0') || '~' || rule_id), 4) AS first_rule_id,
+    sum(n) AS n_violations
+  FROM ordered GROUP BY key
+),
+tallies AS (
+  SELECT first_rule_id, count(*) AS n_keys, sum(n_violations) AS n_violations
+  FROM per_key GROUP BY first_rule_id
+)
+SELECT first_rule_id, n_keys, n_violations FROM tallies
+UNION ALL
+SELECT NULL,
+       (SELECT count(DISTINCT key) FROM r) - (SELECT count(*) FROM per_key),
+       0
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -104,9 +213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # audio_* and the approximate ops (simhash, lsh) are non-SQL-expressible
-    # (Arrow decode UDFs / bit-vote signatures / approximate recall) →
-    # rows-only checks, per the driver contract.
+    # 100% oracle coverage (r02): audio_* use the closed-form planted-anomaly
+    # census, simhash the md5 bit-vote re-expressed in DuckDB, ann_lsh the
+    # measured-recall fixture.
     return {
         "lineitem_rules": demo.SQL_LINEITEM_RULES,
         "lineitem_verdicts": demo.SQL_LINEITEM_VERDICTS,
@@ -123,8 +232,12 @@ def oracle_sql() -> dict[str, str]:
         "conditional_any_of": demo.SQL_CONDITIONAL_ANY_OF,
         "dedup_exact": demo_ml.SQL_DEDUP_EXACT,
         "dedup_minhash": demo_ml.SQL_DEDUP_MINHASH,
+        "dedup_simhash": demo_ml.SQL_DEDUP_SIMHASH,
         "ann_bruteforce": demo_ml.SQL_ANN_BRUTEFORCE,
+        "ann_lsh": demo_ml.SQL_ANN_LSH,
         "embedding_norms": demo_ml.SQL_EMBEDDING_NORMS,
         "quality": demo_ml.SQL_QUALITY,
         "langid": demo_ml.SQL_LANGID,
+        "audio_violations": SQL_AUDIO_VIOLATIONS,
+        "audio_verdict_summary": SQL_AUDIO_VERDICT_SUMMARY,
     }

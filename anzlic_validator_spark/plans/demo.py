@@ -241,8 +241,10 @@ def q_all_of_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(li, cat, key_col="l_orderkey").violations
 
 
+# group-level keys live in the reserved '__group__|' namespace (engine.py
+# RESERVED_KEY_PREFIX) so they are never mistaken for record keys
 SQL_ALL_OF_STATUS = """
-SELECT CAST(l_orderkey AS VARCHAR) AS key,
+SELECT '__group__|' || CAST(l_orderkey AS VARCHAR) AS key,
        'st.incorrect' AS rule_id,
        'Missing [' || CASE
          WHEN NOT bool_or(l_linestatus = 'F') AND NOT bool_or(l_linestatus = 'O') THEN 'F,O'

@@ -95,10 +95,43 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups — no SQL oracle (bit-vote signature is not
-    SQL-expressible); driver records the rows-only check."""
+    """SimHash near-dups, now with a full value oracle: the md5 bit-vote
+    signature is reproducible in DuckDB (md5_number_upper == the first 8
+    md5 bytes little-endian, the engine's token hash), and pigeonhole
+    (n_tables=4 > max_hamming=3) makes the LSH output EXACTLY the set of
+    Hamming<=3 pairs — which the oracle computes by brute force."""
     corpus = _corpus_with_near_dups(spark, sf_dir)
     return simhash_near_duplicates(corpus, "text", "doc_id", max_hamming=3, n_tables=4)
+
+
+SQL_DEDUP_SIMHASH = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ')
+  FROM documents WHERE doc_id % 10 = 0
+),
+tok AS (  -- per-occurrence tokens (duplicates vote repeatedly, as the kernel does)
+  SELECT doc_id, md5_number_upper(unnest(string_split(text, ' '))) AS h
+  FROM corpus
+),
+votes AS (
+  SELECT doc_id, r.range AS k,
+         sum(CASE WHEN (h >> CAST(r.range AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok CROSS JOIN range(64) r
+  GROUP BY doc_id, r.range
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << CAST(k AS INT)) ELSE CAST(0 AS UBIGINT) END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
 
 
 # ------------------------------------------------------------------- ANN
@@ -135,12 +168,48 @@ FROM ranked WHERE rank <= 5
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-k — approximate by design, so rows-only."""
+    """SRP-LSH approximate top-k, verified by MEASURED recall@k against the
+    exact brute-force ranking (VERDICT r01: approximate ops must publish a
+    checkable quality metric, not just run). Everything is deterministic —
+    seeded hyperplanes, fixed data, id-tiebroken ranking — so the measured
+    recall is an exact fixture the oracle pins, alongside threshold flags.
+
+    Config note: 4-bit buckets suit this near-orthogonal random corpus at
+    sf scale (recall 0.96 with 24 tables); a 10^9-vector corpus would raise
+    bits (bucket fraction n/2^bits) and keep the table count — the recall
+    measurement is the feedback loop for that tuning.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    return lsh_topk(emb, queries, dim=64, k=5, bits=6, n_tables=8)
+    lsh = lsh_topk(emb, queries, dim=64, k=5, bits=4, n_tables=24)
+    bf = brute_force_topk(emb, queries, k=5)
+    hits = bf.join(lsh.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "left_semi")
+    per_q = (
+        bf.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("h")), "q_id", "left")
+        .select((F.coalesce("h", F.lit(0)) / F.col("n")).alias("recall"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(5).alias("k"),
+        F.round(F.min("recall"), 4).alias("min_recall"),
+        F.round(F.avg("recall"), 4).alias("mean_recall"),
+        ((F.min("recall") >= 0.6) & (F.avg("recall") >= 0.85)).alias("recall_ok"),
+    )
+
+
+# the recall figures are exact fixtures (deterministic pipeline); the flags
+# are the durable contract — they survive parameter retuning with margin
+SQL_ANN_LSH = """
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
+       CAST(5 AS INT) AS k,
+       CAST(0.8 AS DOUBLE) AS min_recall,
+       CAST(0.96 AS DOUBLE) AS mean_recall,
+       true AS recall_ok
+"""
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
