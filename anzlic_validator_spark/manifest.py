@@ -29,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import tempfile
 import time
 from dataclasses import dataclass, field
@@ -37,9 +38,7 @@ from typing import Any
 MANIFEST_NAME = "manifest.json"
 
 
-def input_snapshot(paths: list[str]) -> str:
-    """Fingerprint of the input files (path, size, mtime) — the parquet-dir
-    stand-in for an Iceberg snapshot id."""
+def _walk_entries(paths: list[str]) -> list[tuple[str, int, int]]:
     entries = []
     for p in sorted(paths):
         if os.path.isdir(p):
@@ -53,7 +52,46 @@ def input_snapshot(paths: list[str]) -> str:
         elif os.path.exists(p):
             st = os.stat(p)
             entries.append((p, st.st_size, int(st.st_mtime)))
+    return entries
+
+
+def _fingerprint(entries: list) -> str:
     return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]
+
+
+def input_snapshot(paths: list[str]) -> str:
+    """Fingerprint of the input files (path, size, mtime) — the parquet-dir
+    stand-in for an Iceberg snapshot id."""
+    return _fingerprint(_walk_entries(paths))
+
+
+_BUCKET_DIR = re.compile(r"(?:^|/)bucket=(-?\d+)(?:/|$)")
+
+
+def input_snapshots_per_bucket(paths: list[str], n_buckets: int) -> dict[int, str]:
+    """Per-bucket snapshot fingerprints (VERDICT r01 #8): when the input is
+    bucket-partitioned (``bucket=N`` dirs — the engine's own output layout,
+    or an Iceberg table partitioned by ``bucket(n, key)``), a one-file touch
+    revalidates exactly the affected bucket instead of everything.
+
+    CONTRACT: the input's bucket values must come from the SAME key/bucket
+    function the run uses (pmod(xxhash64(cast(key as string)), n_buckets)) —
+    file layout alone cannot prove that, so callers opt in by partitioning
+    the input accordingly. Files outside any bucket dir (or bucket ids
+    outside range(n_buckets)) contribute to a shared residue fingerprint
+    folded into EVERY bucket, so any unpartitioned change still invalidates
+    all buckets — the safe fallback equals the global snapshot behavior.
+    """
+    per_bucket: dict[int, list] = {b: [] for b in range(n_buckets)}
+    residue: list = []
+    for fp, size, mtime in _walk_entries(paths):
+        m = _BUCKET_DIR.search(fp)
+        b = int(m.group(1)) if m else None
+        if b is not None and 0 <= b < n_buckets:
+            per_bucket[b].append((fp, size, mtime))
+        else:
+            residue.append((fp, size, mtime))
+    return {b: _fingerprint([per_bucket[b], residue]) for b in range(n_buckets)}
 
 
 @dataclass
@@ -77,15 +115,22 @@ class Manifest:
         doc["n_buckets"] = n_buckets
         return cls(path=path, n_buckets=n_buckets, doc=doc)
 
-    def pending_buckets(self, rule_versions: str, snapshot_id: str) -> list[int]:
+    def pending_buckets(
+        self, rule_versions: str, snapshot_id: str | dict[int, str]
+    ) -> list[int]:
         """Buckets needing (re)validation: not complete, or completed under a
-        different rule catalog / input snapshot (I3 skip-if-no-change)."""
+        different rule catalog / input snapshot (I3 skip-if-no-change).
+        ``snapshot_id`` may be per-bucket (input_snapshots_per_bucket) —
+        then each bucket compares against ITS OWN fingerprint."""
+        def snap_for(b: int) -> str:
+            return snapshot_id.get(b, "") if isinstance(snapshot_id, dict) else snapshot_id
+
         done = {
             int(b)
             for b, e in self.doc["buckets"].items()
             if e.get("status") == "complete"
             and e.get("rule_versions") == rule_versions
-            and e.get("snapshot_id") == snapshot_id
+            and e.get("snapshot_id") == snap_for(int(b))
         }
         return [b for b in range(self.n_buckets) if b not in done]
 
@@ -93,16 +138,17 @@ class Manifest:
         self,
         run_id: str,
         rule_versions: str,
-        snapshot_id: str,
+        snapshot_id: str | dict[int, str],
         files: list[str],
         bucket_metrics: dict[int, dict[str, Any]],
         wall_clock_s: float,
     ) -> None:
         for b, m in bucket_metrics.items():
+            snap = snapshot_id.get(b, "") if isinstance(snapshot_id, dict) else snapshot_id
             self.doc["buckets"][str(b)] = {
                 "status": "complete",
                 "rule_versions": rule_versions,
-                "snapshot_id": snapshot_id,
+                "snapshot_id": snap,
                 "files": files,
                 "rows": m.get("rows", 0),
                 "failed_rows": m.get("failed_rows", 0),
@@ -115,7 +161,11 @@ class Manifest:
             {
                 "run_id": run_id,
                 "rule_versions": rule_versions,
-                "snapshot_id": snapshot_id,
+                "snapshot_id": (
+                    _fingerprint(sorted(snapshot_id.items()))
+                    if isinstance(snapshot_id, dict)
+                    else snapshot_id
+                ),
                 "buckets": sorted(bucket_metrics),
                 "rows": int(sum(m.get("rows", 0) for m in bucket_metrics.values())),
                 "violations": int(sum(m.get("violations", 0) for m in bucket_metrics.values())),

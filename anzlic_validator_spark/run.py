@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from anzlic_validator_spark.engine import dataset_rule_violations, is_record_key, validate
-from anzlic_validator_spark.manifest import Manifest, input_snapshot
+from anzlic_validator_spark.manifest import Manifest, input_snapshot, input_snapshots_per_bucket
 from anzlic_validator_spark.rules import Rule, RuleCatalog, load_catalog
 from anzlic_validator_spark.schema import VIOLATION_FIELDS
 from anzlic_validator_spark.sources.tables import read_clips
@@ -114,13 +114,17 @@ def run_validation(
     """Programmatic core of the CLI — returns the run summary dict."""
     catalog = load_catalog(catalog_path)
     rule_versions = catalog.catalog_hash()
-    snapshot_id = input_snapshot(input_paths or [])
+    # per-bucket fingerprints: a bucket-partitioned input (bucket=N dirs,
+    # same key/bucket function) revalidates only the touched bucket; an
+    # unpartitioned input degrades to the global-snapshot behavior because
+    # every file lands in the shared residue folded into each bucket
+    snapshots = input_snapshots_per_bucket(input_paths or [], n_buckets)
     manifest = Manifest.load(output, n_buckets=n_buckets)
-    pending = manifest.pending_buckets(rule_versions, snapshot_id)
+    pending = manifest.pending_buckets(rule_versions, snapshots)
     summary = {
         "run_id": uuid.uuid4().hex[:12],
         "rule_versions": rule_versions,
-        "snapshot_id": snapshot_id,
+        "snapshot_id": input_snapshot(input_paths or []),
         "n_buckets": n_buckets,
         "pending_buckets": pending,
         "skipped_buckets": sorted(set(range(n_buckets)) - set(pending)),
@@ -214,7 +218,7 @@ def run_validation(
     for bkt in pending:
         bucket_metrics.setdefault(bkt, {"rows": 0, "failed_rows": 0, "violations": 0, "passed": True})
     manifest.record_run(
-        summary["run_id"], rule_versions, snapshot_id, input_paths or [], bucket_metrics, wall
+        summary["run_id"], rule_versions, snapshots, input_paths or [], bucket_metrics, wall
     )
     summary["wall_clock_s"] = round(wall, 3)
     summary["rows"] = sum(m["rows"] for m in bucket_metrics.values())

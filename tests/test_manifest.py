@@ -147,6 +147,47 @@ def test_bucket_col_string_cast_consistency(spark):
     assert [r.b_int for r in df.collect()] == [r.b_str for r in df2.collect()]
 
 
+def test_bucketed_input_revalidates_only_touched_bucket(spark, data_dir, tmp_path):
+    """VERDICT r01 #8: per-bucket snapshots — one touched file in a
+    bucket-partitioned input re-runs exactly the affected bucket."""
+    import os
+    import time as _time
+
+    from anzlic_validator_spark.run import bucket_col
+
+    binp = tmp_path / "bucketed_clips"
+    df = spark.read.parquet(str(data_dir / "clips"))
+    (
+        df.withColumn("bucket", bucket_col("clip_id", 8))
+        .write.partitionBy("bucket")
+        .parquet(str(binp))
+    )
+    out = tmp_path / "out"
+
+    def run():
+        refs = {"transcript_index": spark.read.parquet(str(data_dir / "index"))}
+        # read WITHOUT the partition column leaking into the schema contract
+        d = spark.read.parquet(str(binp)).drop("bucket")
+        from anzlic_validator_spark.run import run_validation
+
+        return run_validation(
+            spark, d, catalog_path=CATALOG, output=str(out), refs=refs,
+            n_buckets=8, input_paths=[str(binp)],
+        )
+
+    s1 = run()
+    assert s1["pending_buckets"] == list(range(8))
+    s2 = run()
+    assert s2["pending_buckets"] == []
+    # touch exactly one data file inside bucket=5
+    b5 = binp / "bucket=5"
+    f = next(p for p in os.listdir(b5) if not p.startswith(("_", ".")))
+    _time.sleep(1.1)  # mtime granularity
+    os.utime(b5 / f)
+    s3 = run()
+    assert s3["pending_buckets"] == [5]
+
+
 def test_input_snapshot_sensitivity(tmp_path):
     f = tmp_path / "x.parquet"
     f.write_bytes(b"aaa")

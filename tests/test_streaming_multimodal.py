@@ -54,6 +54,54 @@ def test_streaming_incremental_validation(spark, tmp_path):
     assert {"BAD_ID", "clip-000000009999"} <= keys
 
 
+_CLIPS_DDL = "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+
+
+def _clip_rows(spark, ids):
+    return spark.createDataFrame(
+        [(i, None, 16000, 500, "wav", f"text {i}") for i in ids], _CLIPS_DDL
+    )
+
+
+def test_streaming_cross_batch_duplicate_detected(spark, tmp_path):
+    """VERDICT r01 #6: a duplicate key split across two micro-batches must
+    be reported — round 1 scoped unique rules to the batch and missed it."""
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    cat = parse_catalog(
+        {"rules": [{"id": "clip_id.unique", "type": "unique", "columns": ["clip_id"]}]}
+    )
+    _clip_rows(spark, ["clip-A", "clip-B"]).write.parquet(inp)
+    q = validate_stream(spark, inp, cat, out, ckpt)
+    q.awaitTermination(120)
+    viol_schema = "key string, rule_id string, observed string, expected string, epoch bigint"
+    assert spark.read.schema(viol_schema).parquet(f"{out}/violations").count() == 0
+
+    # epoch 1: cross-batch dup of clip-A + an intra-batch dup pair clip-C
+    _clip_rows(spark, ["clip-A", "clip-C", "clip-C"]).write.mode("append").parquet(inp)
+    q2 = validate_stream(spark, inp, cat, out, ckpt)
+    q2.awaitTermination(180)
+    v = spark.read.parquet(f"{out}/violations")
+    rows = {(r.key, r.observed) for r in v.collect()}
+    assert ("clip-A", "seen_in_epoch=0") in rows          # cross-batch
+    assert ("clip-C", "count=2") in rows                  # intra-batch
+    assert all(r.rule_id == "clip_id.unique.incorrect" for r in v.collect())
+    # verdicts reflect the duplicates too
+    verd = spark.read.parquet(f"{out}/verdicts")
+    failed = {r.key for r in verd.where(~verd.passed).collect()}
+    assert {"clip-A", "clip-C"} <= failed
+
+
+def test_streaming_rejects_table_global_rules(spark, tmp_path):
+    from anzlic_validator_spark.errors import InvalidConfigException
+
+    cat = parse_catalog(
+        {"rules": [{"id": "cover", "type": "all_of", "column": "codec", "values": ["wav"]}]}
+    )
+    with pytest.raises(InvalidConfigException, match="table-global"):
+        validate_stream(spark, str(tmp_path / "in"), cat, str(tmp_path / "out"),
+                        str(tmp_path / "ckpt"))
+
+
 def test_violation_rate_stream_batch_semantics(spark, sf_dir):
     from pyspark.sql import functions as F
 
