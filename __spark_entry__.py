@@ -120,8 +120,8 @@ r AS (
     CASE WHEN cat = 'bad_id' THEN 'CLIP_' || CAST(j AS VARCHAR)
          ELSE 'clip-' || lpad(CAST(j AS VARCHAR), 12, '0') END AS key,
     ((j % 101 <> 100) AND cat <> 'bad_id') AS joined,
-    CASE j % 3 WHEN 0 THEN 'pcm_s16le' WHEN 1 THEN 'wav' ELSE 'flacz' END AS expect_codec,
-    CASE WHEN j % 2 = 1 THEN 'wav' ELSE 'flacz' END AS srmis_codec
+    CASE j % 3 WHEN 0 THEN 'pcm_s16le' WHEN 1 THEN 'wav' ELSE 'flac' END AS expect_codec,
+    CASE WHEN j % 2 = 1 THEN 'wav' ELSE 'flac' END AS srmis_codec
   FROM c
 ),
 expected AS (

@@ -7,15 +7,16 @@ BASELINE.json input_hint: decode ``bytes`` per ``codec``, assert the decoded
 PCM is allclose to the reference signal at SNR ≥ 30 dB, and that ``sr_hz`` /
 ``dur_ms`` agree with the decoded stream.
 
-Codecs (this container has no audio libraries — see module notes):
-- ``pcm_s16le``  raw 16-bit little-endian mono PCM (real, numpy-only)
+Codecs (this container has no audio libraries — everything is implemented
+from the public format specs in numpy):
+- ``pcm_s16le``  raw 16-bit little-endian mono PCM (numpy-only)
 - ``wav``        RIFF/WAVE PCM mono 16-bit with a standard 44-byte header
-                 (real, handcrafted per the public RIFF spec)
-- ``flacz``      *STUB* stand-in for FLAC: a deterministic fake container
-                 (magic ``FLCZ`` + sr + n_samples + zlib-compressed s16le).
-                 Real FLAC/Opus decode would slot in here behind the same
-                 interface; marked clearly as a stand-in because libsndfile/
-                 soundfile are not installed in this image.
+                 (handcrafted per the public RIFF spec)
+- ``flac``       REAL FLAC bitstream (functions/flac.py): fixed-predictor
+                 subframes + rice residuals + CRC-8/16 + stream MD5 per
+                 RFC 9639 — a vectorized-numpy encoder/decoder subset
+                 (16-bit mono; LPC/stereo rejected with explicit errors).
+                 Retires round 1's ``flacz`` zlib stand-in (VERDICT #10).
 
 All checks run as ONE Arrow-vectorized ``pandas_udf`` returning a struct —
 batch transfer via Arrow, numpy kernels inside, no per-row Python at the
@@ -28,7 +29,6 @@ from __future__ import annotations
 
 import re
 import struct
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -38,9 +38,10 @@ from pyspark.sql import types as T
 
 from anzlic_validator_spark.rules import Rule
 
-KNOWN_CODECS = ("pcm_s16le", "wav", "flacz")
+from anzlic_validator_spark.functions.flac import FlacError, decode_flac, encode_flac
 
-_FLCZ_MAGIC = b"FLCZ"
+KNOWN_CODECS = ("pcm_s16le", "wav", "flac")
+
 _WAV_HDR = struct.Struct("<4sI4s4sIHHIIHH4sI")
 
 
@@ -60,22 +61,16 @@ def encode_wav(pcm: np.ndarray, sr: int) -> bytes:
     return hdr + data
 
 
-def encode_flacz(pcm: np.ndarray, sr: int) -> bytes:
-    """STUB codec: deterministic fake FLAC container (see module docstring)."""
-    raw = _to_s16(pcm)
-    return _FLCZ_MAGIC + struct.pack("<II", sr, raw.size) + zlib.compress(raw.tobytes(), 6)
-
-
 def encode(pcm: np.ndarray, sr: int, codec: str) -> bytes:
     if codec == "pcm_s16le":
         return encode_pcm_s16le(pcm)
     if codec == "wav":
         return encode_wav(pcm, sr)
-    if codec == "flacz":
-        return encode_flacz(pcm, sr)
+    if codec == "flac":
+        return encode_flac(_to_s16(pcm), sr)
     raise NotImplementedError(
-        f"codec {codec!r}: real encoders (flac/opus/mp3) are not available in "
-        "this container — only pcm_s16le/wav/flacz are implemented"
+        f"codec {codec!r}: opus/mp3 encoders are not available in this "
+        "container — only pcm_s16le/wav/flac are implemented"
     )
 
 
@@ -112,17 +107,18 @@ def decode(b: bytes | None, codec: str | None):
         if len(data) < data_len or len(data) % 2:
             return None, sr, "truncated WAV data"
         return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0, sr, None
-    if codec == "flacz":
-        if b[:4] != _FLCZ_MAGIC or len(b) < 12:
-            return None, None, "bad FLCZ header"
-        sr, n = struct.unpack("<II", b[4:12])
+    if codec == "flac":
+        sr = None
+        if len(b) >= 28 and b[:4] == b"fLaC":
+            # STREAMINFO sample rate (bits 80-99 of the 34-byte block) —
+            # report it even when frame decode fails, like the WAV path
+            hi = int.from_bytes(b[18:21], "big")
+            sr = hi >> 4
         try:
-            raw = zlib.decompress(b[12:])
-        except zlib.error as exc:
-            return None, sr, f"FLCZ payload corrupt: {exc}"
-        if len(raw) != n * 2:
-            return None, sr, f"FLCZ sample count mismatch: {len(raw)//2} != {n}"
-        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0, sr, None
+            s16, sr_dec = decode_flac(b)
+        except FlacError as exc:
+            return None, sr, f"FLAC decode failed: {exc}"
+        return s16.astype(np.float32) / 32767.0, sr_dec, None
     return None, None, f"unknown codec {codec!r}"
 
 

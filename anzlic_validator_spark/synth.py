@@ -26,7 +26,7 @@ WORDS = (
     "xray yankee zulu zero one two three four five"
 ).split()
 
-CODECS = ("pcm_s16le", "wav", "flacz")
+CODECS = ("pcm_s16le", "wav", "flac")
 SRS = (8000, 16000, 22050, 44100)
 
 # anomaly windows inside each cycle of CYCLE ids; ids whose (id % CYCLE) is
@@ -79,7 +79,7 @@ def _clip_row(i: int, seed: int, with_audio: bool) -> dict:
     elif cat == "short_dur":
         dur_ms = 50  # below the range rule's minimum
     elif cat == "sr_mismatch":
-        codec = "wav" if i % 2 else "flacz"  # needs an sr-bearing container
+        codec = "wav" if i % 2 else "flac"  # needs an sr-bearing container
 
     transcript: str | None = _transcript(i)
     if cat == "null_transcript":

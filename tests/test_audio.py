@@ -28,7 +28,7 @@ def test_codec_roundtrip():
         assert pcm.size == sig.size
         # quantization-limited reconstruction: well above the 30 dB gate
         assert audio.snr_db(sig, pcm) > 40
-        if codec in ("wav", "flacz"):
+        if codec in ("wav", "flac"):
             assert sr_emb == 16000
 
 
@@ -38,8 +38,8 @@ def test_decode_errors():
     assert "bad RIFF" in audio.decode(b"x" * 50, "wav")[2]
     assert "unknown codec" in audio.decode(b"x" * 4, "mp3")[2]
     sig = audio.ref_signal(1, 8000, 800, seed=1)
-    b = audio.encode(sig, 8000, "flacz")
-    assert audio.decode(b[: len(b) // 2], "flacz")[2] is not None
+    b = audio.encode(sig, 8000, "flac")
+    assert audio.decode(b[: len(b) // 2], "flac")[2] is not None
 
 
 def test_ref_signal_deterministic():

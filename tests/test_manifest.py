@@ -107,7 +107,7 @@ def test_global_rules_reserved_bucket_and_full_scope(spark, data_dir, tmp_path):
         "rules:\n"
         "  - {id: clip_id.format, type: format, column: clip_id, pattern: '^clip-'}\n"
         "  - {id: codec.all_of, type: all_of, column: codec,\n"
-        "     values: [pcm_s16le, wav, flacz, opus]}\n"  # 'opus' never appears
+        "     values: [pcm_s16le, wav, flac, opus]}\n"  # 'opus' never appears
     )
     s1 = _run(spark, data_dir, out, catalog=str(alt))
     assert s1["table_violations"] == 1

@@ -147,7 +147,7 @@ def test_all_on_config_fails_correct_rows(spark):
     df = clips(spark, 300, seed=42, clean=True, with_audio=False, num_partitions=2)
     res = validate(df, cat, key_col="clip_id")
     verd = res.verdicts
-    # codec.value forces pcm_s16le on everything → wav/flacz rows fail
+    # codec.value forces pcm_s16le on everything → wav/flac rows fail
     assert verd.where("NOT passed").count() > 0
     failed_rules = {r.rule_id for r in res.violations.collect()}
     assert "codec.value.incorrect" in failed_rules
