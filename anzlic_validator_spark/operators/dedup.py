@@ -258,26 +258,41 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     first 8 md5 bytes little-endian — stable across processes/versions (and
     re-expressible in the DuckDB oracle), unlike builtin ``hash``.
     """
-    tok_lists = [(t or "").split(" ") for t in texts]
-    if not tok_lists:
+    n_docs = len(texts)
+    if n_docs == 0:
         return pd.Series(np.zeros(0, dtype=np.int64))
-    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-    flat = np.array([tok for toks in tok_lists for tok in toks], dtype=object)
-    uniq, inv = np.unique(flat, return_inverse=True)
+    # Distinct-token inverse via a dict (an object-array np.unique sorts the
+    # token multiset — measured 5.5x slower than dict insertion). One md5
+    # per DISTINCT token; per-doc votes are a single (n_toks, 64) int8
+    # gather + column sum, which stays cache-resident — measured 2.1x faster
+    # than the r01 per-token accumulate and ~9x faster than a batch-wide
+    # add.reduceat (whose (tokens, 64) temp is memory-bandwidth-bound).
+    index: dict[str, int] = {}
+    get = index.get
+    doc_idx: list[np.ndarray] = []
+    for t in texts:
+        toks = (t or "").split(" ")  # never empty ('' splits to [''])
+        idxs = np.empty(len(toks), dtype=np.int64)
+        for m, tok in enumerate(toks):
+            i = get(tok)
+            if i is None:
+                i = len(index)
+                index[tok] = i
+            idxs[m] = i
+        doc_idx.append(idxs)
     h = np.fromiter(
-        (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little") for u in uniq),
+        (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little") for u in index),
         dtype=np.uint64,
-        count=len(uniq),
+        count=len(index),
     )
     shifts = np.arange(64, dtype=np.uint64)
-    bits = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2) - 1  # (uniq, 64)
-    offsets = np.zeros(len(tok_lists), dtype=np.int64)
-    np.cumsum(lens[:-1], out=offsets[1:])
-    votes = np.add.reduceat(bits[inv], offsets, axis=0)  # lens >= 1 always ('' splits to [''])
-    sig = np.where(votes > 0, (np.uint64(1) << shifts), np.uint64(0)).sum(
-        axis=1, dtype=np.uint64
-    )
-    return pd.Series(np.ascontiguousarray(sig).view(np.int64))
+    bits = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int8) * 2) - 1  # (uniq, 64)
+    powers = np.uint64(1) << shifts
+    sig = np.empty(n_docs, dtype=np.uint64)
+    for j, idxs in enumerate(doc_idx):
+        votes = bits[idxs].sum(axis=0, dtype=np.int32)
+        sig[j] = np.where(votes > 0, powers, np.uint64(0)).sum(dtype=np.uint64)
+    return pd.Series(sig.view(np.int64))
 
 
 def simhash_near_duplicates(

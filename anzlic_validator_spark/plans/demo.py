@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from anzlic_validator_spark.engine import validate
+from anzlic_validator_spark.functions.display import camel_title, md_to_html
 from anzlic_validator_spark.operators.drift import ks_distance_df
 from anzlic_validator_spark.operators.profile import profile, value_histogram
 from anzlic_validator_spark.rules import parse_catalog
@@ -378,6 +379,19 @@ def q_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("has_open"),
             # P5: display-casing rewrite
             F.initcap(F.lower("o_orderpriority")).alias("priority_disp"),
+            # P5 full parity: camel-case field label + markdown→HTML rewrite
+            # (linz_metadata.py:1313, 1373-1405) over a deterministic
+            # markdown-bearing derivation of the row
+            camel_title(F.concat(F.lit("order"), F.col("o_orderstatus"))).alias("field_label"),
+            md_to_html(
+                F.concat(
+                    F.lit("**"), F.col("o_orderstatus"), F.lit("** *"),
+                    F.lower("o_orderpriority"), F.lit("* [order "),
+                    F.col("o_orderkey").cast("string"), F.lit("](/orders/"),
+                    F.col("o_orderkey").cast("string"), F.lit(")\nsee customer "),
+                    F.col("o_custkey").cast("string"),
+                )
+            ).alias("abstract_html"),
             F.col("o_totalprice").alias("totalprice"),
         )
     )
@@ -398,6 +412,24 @@ SELECT o_orderkey AS key,
          list_transform(string_split(lower(o_orderpriority), ' '),
                         w -> upper(substr(w, 1, 1)) || substr(w, 2)),
          ' ') AS priority_disp,
+       -- camel_title('order' || status): split before capitals, initcap
+       array_to_string(
+         list_transform(
+           string_split(regexp_replace('order' || o_orderstatus, '([A-Z])', ' \\1', 'g'), ' '),
+           w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))),
+         ' ') AS field_label,
+       -- md_to_html: bold pairs, italic pairs, links, per-line <br>
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               '**' || o_orderstatus || '** *' || lower(o_orderpriority) ||
+               '* [order ' || o_orderkey || '](/orders/' || o_orderkey ||
+               ')' || chr(10) || 'see customer ' || o_custkey,
+               '\\*\\*([^*]+)\\*\\*', '<b>\\1</b>', 'g'),
+             '\\*([^*]+)\\*', '<i>\\1</i>', 'g'),
+           '\\[([^\\[\\]]+)\\]\\(([^()\\[\\]]+)\\)', '<a href="\\2">\\1</a>', 'g'),
+         chr(10), '<br>', 'g') || '<br>' AS abstract_html,
        o_totalprice AS totalprice
 FROM orders LEFT JOIN statuses ON o_orderkey = l_orderkey
 """

@@ -154,6 +154,7 @@ QUERY_NAMES = [
     "hist_events",
     "report_orders",
     "events_rules",
+    "conditional_any_of",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
