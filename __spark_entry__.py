@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": demo_ml.q_dedup_exact,
         "dedup_minhash": demo_ml.q_dedup_minhash,
         "dedup_simhash": demo_ml.q_dedup_simhash,
+        "dedup_embedding": demo_ml.q_dedup_embedding,
         "ann_bruteforce": demo_ml.q_ann_bruteforce,
         "ann_lsh": demo_ml.q_ann_lsh,
         "embedding_norms": demo_ml.q_embedding_norms,
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": demo_ml.SQL_DEDUP_EXACT,
         "dedup_minhash": demo_ml.SQL_DEDUP_MINHASH,
         "dedup_simhash": demo_ml.SQL_DEDUP_SIMHASH,
+        "dedup_embedding": demo_ml.SQL_DEDUP_EMBEDDING,
         "ann_bruteforce": demo_ml.SQL_ANN_BRUTEFORCE,
         "ann_lsh": demo_ml.SQL_ANN_LSH,
         "embedding_norms": demo_ml.SQL_EMBEDDING_NORMS,

@@ -75,11 +75,11 @@ def _crc16_bytewise(data: bytes, c: int = 0) -> int:
     return c
 
 
-_CRC16_BLOCK = 64
+_CRC16_BLOCK = 256
 # T[j][v] = CRC-16 contribution of byte v followed by j zero bytes: lets a
-# 64-byte block reduce to table gathers (vectorized over all blocks), with
-# the running state XOR-folded into the block's first two bytes — the
-# standard slicing-by-N decomposition of an unreflected CRC.
+# block reduce to table gathers (vectorized over all blocks), with the
+# running state XOR-folded into the block's first two bytes — the standard
+# slicing-by-N decomposition of an unreflected CRC.
 _CRC16_SLICE = np.zeros((_CRC16_BLOCK, 256), dtype=np.uint16)
 _CRC16_SLICE[0] = _CRC16_TBL.astype(np.uint16)
 for _j in range(1, _CRC16_BLOCK):
@@ -267,33 +267,42 @@ class FlacError(ValueError):
 
 
 def _rice_decode(
-    bits: np.ndarray, ones_all: np.ndarray, pos: int, n: int, k: int
+    bits: np.ndarray, ones_all: np.ndarray, cum: np.ndarray, pos: int, n: int, k: int
 ) -> tuple[np.ndarray, int]:
     """Decode n rice(k) codes starting at bit ``pos``; returns (residuals,
     next bit position). Vectorized via pointer-jumping over set-bit indices:
     terminators t_i satisfy t_0 = first one >= pos and
-    t_i = first one >= t_{i-1} + 1 + k — a successor chain enumerated with
-    log2(n) array-gather doublings (no per-sample Python). ``ones_all`` is
-    the whole stream's set-bit index array (computed once per file); the
-    chain runs on a window sized for valid data and widens on demand."""
+    t_i = first one >= t_{i-1} + 1 + k. With ``cum`` (per-file prefix sum of
+    the bit array; cum[x] = #ones in bits[0..x]), the successor is a pure
+    GATHER — succ(j) = cum[ones[j] + k] counts the ones strictly below the
+    next start — so no binary search anywhere; the chain is enumerated with
+    log2(n) gather doublings (no per-sample Python). The window is sized for
+    valid data and widens on demand (corrupt streams)."""
     if n == 0:
         return np.zeros(0, dtype=np.int64), pos
-    lo = int(np.searchsorted(ones_all, pos))
-    window = n * (k + 3) + 64
+    total_ones = len(ones_all)
+    lo = int(cum[pos - 1]) if pos > 0 else 0  # ones strictly before pos
+    if lo >= total_ones:
+        raise FlacError("rice stream exhausted")
+    last_bit = len(bits) - 1
+    # expected ones per code = 1 (terminator) + k/2 (payload bits); 25%
+    # headroom, widen-on-demand below covers heavy-tailed residuals
+    window = (n * (k + 2) * 5) // 8 + 64
     t = None
     while True:
-        ones = ones_all[lo : lo + window]
-        if len(ones) == 0:
-            raise FlacError("rice stream exhausted")
+        hi = min(lo + window, total_ones)
+        ones = ones_all[lo:hi]
         sentinel = len(ones)
-        jump = np.append(
-            np.searchsorted(ones, ones + 1 + k).astype(np.int64), sentinel
-        )  # jump[sentinel] = sentinel
+        # successor as a prefix-sum gather, re-based to the window
+        nxt_starts = np.minimum(ones + k, last_bit)
+        jump = np.empty(sentinel + 1, dtype=np.int64)
+        np.minimum(cum[nxt_starts] - lo, sentinel, out=jump[:sentinel])
+        jump[sentinel] = sentinel
         chain = np.empty(n, dtype=np.int64)
         chain[0] = 0  # first one at/after pos
         filled = 1
-        exhausted = False
-        while filled < n:
+        exhausted = n > 1 and sentinel < 2
+        while filled < n and not exhausted:
             take = min(filled, n - filled)
             nxt = jump[chain[:take]]
             if int(nxt[-1]) >= sentinel:  # monotone chain: last is max
@@ -305,7 +314,7 @@ def _rice_decode(
         if not exhausted:
             t = ones[chain]
             break
-        if lo + window >= len(ones_all):
+        if hi >= total_ones:
             raise FlacError("rice stream exhausted")
         window *= 4
     starts = np.empty(n, dtype=np.int64)
@@ -403,6 +412,7 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
 
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
     ones_all = np.flatnonzero(bits).astype(np.int64)  # once per stream
+    cum = np.cumsum(bits, dtype=np.int32)  # cum[x] = #ones in bits[0..x]
     pos = off * 8
     out: list[np.ndarray] = []
     got = 0
@@ -476,7 +486,7 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
                 if k == (1 << pbits) - 1:
                     raise FlacError("rice escape codes unsupported")
                 cnt = bs // nparts - (order if p == 0 else 0)
-                part, rpos = _rice_decode(bits, ones_all, pr.pos, cnt, k)
+                part, rpos = _rice_decode(bits, ones_all, cum, pr.pos, cnt, k)
                 res_parts.append(part)
             br.pos = rpos
             res = np.concatenate(res_parts) if res_parts else np.zeros(0, np.int64)

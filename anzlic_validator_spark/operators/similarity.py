@@ -120,6 +120,61 @@ def make_srp_buckets_udf(dim: int, bits: int, n_tables: int, seed: int):
     return srp_buckets
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs → (a_id, b_id, cos), a_id < b_id.
+
+    The dedup-flavored sibling of lsh_topk: SRP-LSH buckets generate
+    candidates (one shuffle on (table, bucket)), exact cosine verifies.
+    Near-duplicate embeddings (cos → 1) are near-collinear, so their SRP
+    signs agree on almost every hyperplane — candidate recall approaches 1
+    as the threshold does, which is exactly the dedup regime. The brute
+    force O(n²) alternative is the small-scale oracle only.
+
+    ``max_bucket_size`` caps degenerate buckets (e.g. a mass of zero-ish
+    embeddings) exactly like the text-LSH dedup caps.
+    """
+    from anzlic_validator_spark.operators.dedup import _drop_oversized_buckets
+
+    buckets_udf = make_srp_buckets_udf(dim, bits, n_tables, seed)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__vn", l2_norm(F.col("__v")))
+    bucketed = base.select(
+        "id", F.posexplode(buckets_udf(F.col("__v"))).alias("tbl", "bkt")
+    )
+    bucketed = _drop_oversized_buckets(
+        bucketed, ["tbl", "bkt"], max_bucket_size, "embedding_lsh"
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    cand = (
+        l.join(r, on=["tbl", "bkt"], how="inner")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("a_id"), F.col("__v").alias("__va"), F.col("__vn").alias("__na"))
+    vb = base.select(F.col("id").alias("b_id"), F.col("__v").alias("__vb"), F.col("__vn").alias("__nb"))
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("a_id", "b_id", F.round("cos", 4).alias("cos"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -16,7 +16,12 @@ from anzlic_validator_spark.operators.dedup import (
     minhash_near_duplicates,
     simhash_near_duplicates,
 )
-from anzlic_validator_spark.operators.similarity import brute_force_topk, l2_norm, lsh_topk
+from anzlic_validator_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    l2_norm,
+    lsh_topk,
+)
 from anzlic_validator_spark.operators.text import predict_language, quality_features
 from anzlic_validator_spark.sources.tables import load_table
 
@@ -209,6 +214,38 @@ SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
        CAST(0.8 AS DOUBLE) AS min_recall,
        CAST(0.96 AS DOUBLE) AS mean_recall,
        true AS recall_ok
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a corpus with planted duplicates
+    (scaled copies — scaling preserves direction, so cosine == 1 exactly and
+    SRP buckets agree in every table → LSH recall 1 for the planted set;
+    the random base corpus has no chance pairs at threshold 0.99)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    return embedding_near_duplicates(corpus, dim=64, threshold=0.99, bits=8, n_tables=8)
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000, list_transform(embedding, x -> x * 1.01)
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    (SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE x, unnest(b.embedding)::DOUBLE y) z)
+    / ( sqrt((SELECT sum(x*x) FROM (SELECT unnest(a.embedding)::DOUBLE x) z2))
+      * sqrt((SELECT sum(y*y) FROM (SELECT unnest(b.embedding)::DOUBLE y) z3)) ) AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, round(cos, 4) AS cos FROM pairs WHERE cos >= 0.99
 """
 
 

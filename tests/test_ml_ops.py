@@ -161,6 +161,25 @@ def test_lsh_topk_high_recall(spark):
     assert 1 in got  # the planted near-duplicate must be found
 
 
+def test_embedding_near_duplicates(spark):
+    import numpy as np
+
+    from anzlic_validator_spark.operators.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((50, 16)).astype("float64")
+    rows = [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(50)]
+    # planted duplicates: scaled copies (identical direction → cosine 1)
+    rows += [Row(vec_id=1000 + i, embedding=[float(x * 1.01) for x in vecs[i]])
+             for i in range(0, 50, 10)]
+    df = spark.createDataFrame(rows)
+    got = {(r.a_id, r.b_id): r.cos for r in
+           embedding_near_duplicates(df, dim=16, threshold=0.99, bits=6, n_tables=6).collect()}
+    planted = {(i, 1000 + i) for i in range(0, 50, 10)}
+    assert planted == set(got)          # all planted found, nothing spurious
+    assert all(c == 1.0 for c in got.values())
+
+
 def test_quality_and_langid(spark):
     df = spark.createDataFrame(
         [
