@@ -118,3 +118,70 @@ def test_audio_codec_integration():
     # truncated payload: error, but embedded sr still reported
     pcm2, sr2, err2 = decode(b[: len(b) // 2 | 1], "flac")
     assert pcm2 is None and err2 is not None and sr2 == 16000
+
+
+def test_decodes_method1_and_partitioned_residuals():
+    """Externally-encoded FLAC may use 5-bit rice params (method 1) and
+    partition orders > 0; our encoder never emits them, so craft a frame by
+    hand with the module's own bit primitives and check the decoder."""
+    import numpy as np
+
+    from anzlic_validator_spark.functions import flac as fl
+
+    rng = np.random.default_rng(9)
+    bs = 4096
+    x = (6000 * np.sin(np.arange(bs) * 0.03) + 80 * rng.standard_normal(bs)).astype(np.int16)
+
+    # frame header identical to the encoder's
+    hdr = bytearray([0xFF, 0xF8, (0b0111 << 4) | 0b0000, (0b0000 << 4) | (0b100 << 1)])
+    hdr += fl._utf8_code(0)
+    hdr += struct.pack(">H", bs - 1)
+    hdr.append(fl.crc8(bytes(hdr)))
+
+    order = 2
+    blk = x.astype(np.int64)
+    res = blk[order:] - 2 * blk[order - 1 : -1] + blk[: -order]
+    zz = fl._zigzag(res)
+    w = fl._BitWriter()
+    w.write((0b001000 | order) << 1, 8)          # FIXED order 2
+    for s in blk[:order]:
+        w.write(int(s) & 0xFFFF, 16)
+    w.write(0b01, 2)                              # residual method 1 (5-bit k)
+    w.write(1, 4)                                 # partition order 1 → 2 partitions
+    half = bs // 2
+    parts = [zz[: half - order], zz[half - order :]]
+    for part in parts:
+        k = fl._best_k(part)
+        w.write(k, 5)
+        w.write_bits(fl._rice_bits(part, k))
+    body = w.to_bytes()
+    frame = bytes(hdr) + body
+    frame += struct.pack(">H", fl.crc16(frame))
+
+    si = fl._BitWriter()
+    si.write(bs, 16); si.write(bs, 16); si.write(0, 24); si.write(0, 24)
+    si.write(16000, 20); si.write(0, 3); si.write(15, 5); si.write(bs, 36)
+    import hashlib as _h
+    stream = fl.MAGIC + bytes([0x80, 0, 0, 34]) + si.to_bytes() \
+        + _h.md5(x.astype("<i2").tobytes()).digest() + frame
+    y, sr = fl.decode_flac(stream)
+    assert sr == 16000 and np.array_equal(x, y)
+
+
+def test_lpc_and_escape_rejected_explicitly():
+    import numpy as np
+
+    from anzlic_validator_spark.functions import flac as fl
+
+    x = np.zeros(100, dtype=np.int16)
+    b = bytearray(fl.encode_flac(x, 8000))
+    # subframe header byte sits right after the 4-byte fixed header, the
+    # 1-byte UTF-8 frame number, 2-byte blocksize and 1-byte CRC-8 of the
+    # first frame (offset 42 + 8). Force LPC type bits (0b1xxxxx).
+    sub_off = 42 + 8
+    orig = b[sub_off]
+    b[sub_off] = 0b0_100000_0  # LPC order 1
+    with pytest.raises(fl.FlacError, match="LPC|CRC"):
+        fl.decode_flac(bytes(b))
+    b[sub_off] = orig
+    fl.decode_flac(bytes(b))  # restored stream still decodes
