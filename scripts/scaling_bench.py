@@ -106,7 +106,7 @@ def main() -> int:
 Generated {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())} by
 `python scripts/scaling_bench.py --sf {args.sf}` per BASELINE.md §3:
 identical `spark-submit --py-files` job (full rule catalog incl Arrow
-PCM-decode checks, salted uniqueness, broadcast referential joins, verdict +
+PCM-decode checks (incl. real FLAC), salted uniqueness, referential joins, verdict +
 violation + manifest writes) on the identical deterministic input
 ({n_rows} clips, seed 42, `{clips_path}`), at two parallelism levels.
 Figures are the median of 9 measured runs pooled from 3 interleaved
