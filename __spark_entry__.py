@@ -7,6 +7,7 @@ value-hash → CORRECTNESS_r{N}.json).
 
 Operator coverage map (SURVEY §2 → query):
   R1/R3/R4/R11/R17 row rules .... lineitem_rules / lineitem_verdicts
+  R17 disjunctive (any_of) ...... conditional_any_of
   R10/R19 uniqueness ............ unique_custkey
   R13 referential ............... ref_missing
   R14 referential_mapped ........ ref_mapped
@@ -14,7 +15,8 @@ Operator coverage map (SURVEY §2 → query):
   drift (KS vs baseline) ........ drift_ks
   A1 histograms ................. hist_returnflag / hist_events
   A2 single-pass profile ........ profile_lineitem
-  dedup (exact / minhash / simhash) dedup_exact / dedup_minhash / dedup_simhash
+  dedup (exact/minhash/simhash/embedding) dedup_exact / dedup_minhash /
+                                  dedup_simhash / dedup_embedding
   similarity (brute / LSH) ...... ann_bruteforce / ann_lsh
   text analysis ................. quality / langid
   R18 audio decode (full catalog) audio_violations / audio_verdict_summary

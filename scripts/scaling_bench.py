@@ -2,7 +2,8 @@
 
 No real multi-executor cluster exists in this sandbox, so the two-cluster-
 size criterion is evidenced by running the IDENTICAL spark-submit job on the
-IDENTICAL input at local[8] (N) and local[32] (4N), shuffle partitions ∝
+IDENTICAL input at pinned local[2] (N) and local[8] (4N) — this VM saturates
+near 8 effective cores, see BENCH/BASELINE.md supplementary — shuffle partitions ∝
 cores, and reporting throughput at both plus the efficiency ratio
 
     efficiency = throughput@4N / (4 × throughput@N)      target ≥ 0.8
@@ -64,8 +65,8 @@ def run_one(cores: int, sf: float, zip_path: str, clips: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.1)
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--n4", type=int, default=32)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--n4", type=int, default=8)
     ap.add_argument("--clips", type=int, default=100000,
                     help="row count for the scaling table — must be large enough that compute dominates fixed overheads at 4N")
     args = ap.parse_args()
