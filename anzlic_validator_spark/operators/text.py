@@ -34,6 +34,17 @@ def distinct_token_count(col: Column) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+# BPE-style pre-tokenization: alphanumeric runs or single non-space symbols —
+# the regex stage every BPE tokenizer applies before merges, so the count
+# tracks (and upper-bounds proportionally) real tokenizer token counts
+BPE_PRETOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_count(col: Column) -> Column:
+    """BPE-ish token count via regexp_count — JVM-side, codegen'd."""
+    return F.regexp_count(col, F.lit(BPE_PRETOKEN_PATTERN))
+
+
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
     toks = tokens(col)
     hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
@@ -57,7 +68,9 @@ def predict_language(col: Column, threshold: float = 0.05) -> Column:
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features → one row per doc.
 
-    (id, n_tokens, n_distinct, distinct_ratio, avg_tok_len, fingerprint)
+    (id, n_tokens, n_subtokens, n_distinct, distinct_ratio, avg_tok_len,
+     fingerprint) — n_tokens is whitespace tokenization, n_subtokens the
+    BPE-ish pre-token count (both required training-pipeline variants).
     """
     t = F.col(text_col)
     n_tok = token_count(t)
@@ -66,6 +79,7 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
+        subword_count(t).cast("int").alias("n_subtokens"),
         n_dis.alias("n_distinct"),
         F.round(n_dis.cast("double") / n_tok.cast("double"), 4).alias("distinct_ratio"),
         F.round(chars.cast("double") / n_tok.cast("double"), 4).alias("avg_tok_len"),

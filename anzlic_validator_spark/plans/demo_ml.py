@@ -276,12 +276,14 @@ WITH t AS (
   SELECT doc_id,
          string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens,
          len(list_distinct(string_split(text, ' '))) AS n_distinct,
          length(replace(text, ' ', '')) AS chars
   FROM documents
 )
 SELECT doc_id,
        CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_subtokens AS INT) AS n_subtokens,
        CAST(n_distinct AS INT) AS n_distinct,
        round(n_distinct::DOUBLE / n_tokens, 4) AS distinct_ratio,
        round(chars::DOUBLE / n_tokens, 4) AS avg_tok_len,
