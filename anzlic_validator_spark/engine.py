@@ -43,7 +43,10 @@ RESERVED_KEY_PREFIX = "__"
 
 def is_record_key(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return ~c.startswith(RESERVED_KEY_PREFIX)
+    # NULL keys are record keys: startswith(NULL) yields NULL, which where()
+    # would silently drop — a record with a NULL key column must still have
+    # its violations surfaced, not vanish from the output
+    return c.isNull() | ~c.startswith(RESERVED_KEY_PREFIX)
 
 
 def _empty_violations(spark: SparkSession) -> DataFrame:
@@ -160,8 +163,10 @@ class ValidationResult:
                 F.count(F.lit(1)).alias("n_violations"),
             )
         )
-        return keys.join(per_key, on="key", how="left").select(
-            "key",
+        # null-safe join: NULL-keyed records must pair with their NULL-keyed
+        # violation group instead of reading as spuriously passed
+        return keys.join(per_key, on=keys["key"].eqNullSafe(per_key["key"]), how="left").select(
+            keys["key"].alias("key"),
             F.col("__first").isNull().alias("passed"),
             F.col("__first.rule_id").alias("first_rule_id"),
             F.coalesce("n_violations", F.lit(0)).alias("n_violations"),

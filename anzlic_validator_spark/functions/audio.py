@@ -116,7 +116,10 @@ def decode(b: bytes | None, codec: str | None):
             sr = hi >> 4
         try:
             s16, sr_dec = decode_flac(b)
-        except FlacError as exc:
+        except (FlacError, ValueError, IndexError, OverflowError) as exc:
+            # non-FlacError: corrupt structure driving a numpy/bit-reader
+            # fault — must surface as a per-row violation, never escape the
+            # Arrow UDF and fail the whole Spark task
             return None, sr, f"FLAC decode failed: {exc}"
         return s16.astype(np.float32) / 32767.0, sr_dec, None
     return None, None, f"unknown codec {codec!r}"

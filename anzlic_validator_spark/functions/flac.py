@@ -433,6 +433,8 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             bs = br.read(8) + 1
         elif bs_code == 0b0111:
             bs = br.read(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192  # RFC 9639 §9.1.1: valid fixed blocksize our encoder never emits
         elif bs_code >= 2:
             bs = (576 << (bs_code - 2)) if bs_code <= 5 else (256 << (bs_code - 8))
         else:
@@ -478,6 +480,12 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             nparts = 1 << porder
             if bs % nparts:
                 raise FlacError("blocksize not divisible by partitions")
+            if bs // nparts < order:
+                # porder bits sit AFTER the CRC-8-covered header, so a single
+                # bit flip can reach here with a first-partition residual
+                # count < 0; must be a structured error, not a numpy
+                # ValueError that would fail the Spark task
+                raise FlacError("partition shorter than predictor order")
             res_parts = []
             rpos = br.pos
             for p in range(nparts):

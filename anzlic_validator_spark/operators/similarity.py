@@ -143,7 +143,7 @@ def embedding_near_duplicates(
     ``max_bucket_size`` caps degenerate buckets (e.g. a mass of zero-ish
     embeddings) exactly like the text-LSH dedup caps.
     """
-    from anzlic_validator_spark.operators.dedup import _drop_oversized_buckets
+    from anzlic_validator_spark.operators.dedup import lsh_candidate_pairs
 
     buckets_udf = make_srp_buckets_udf(dim, bits, n_tables, seed)
     base = df.select(
@@ -153,16 +153,9 @@ def embedding_near_duplicates(
     bucketed = base.select(
         "id", F.posexplode(buckets_udf(F.col("__v"))).alias("tbl", "bkt")
     )
-    bucketed = _drop_oversized_buckets(
-        bucketed, ["tbl", "bkt"], max_bucket_size, "embedding_lsh"
-    )
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    cand = (
-        l.join(r, on=["tbl", "bkt"], how="inner")
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(
+        bucketed, ["tbl", "bkt"], ["id"], max_bucket_size, "embedding_lsh"
+    ).select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
     va = base.select(F.col("id").alias("a_id"), F.col("__v").alias("__va"), F.col("__vn").alias("__na"))
     vb = base.select(F.col("id").alias("b_id"), F.col("__v").alias("__vb"), F.col("__vn").alias("__nb"))
     cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
@@ -217,7 +210,9 @@ def lsh_topk(
         .where(F.col("neighbor_id") != F.col("q_id"))
         .select("q_id", "neighbor_id", sim.alias("__sim"))
         .groupBy("q_id", "neighbor_id")
-        .agg(F.first("__sim").alias("__sim"))  # dedup across tables
+        # dedup across tables: all hits of a pair carry the same sim; max
+        # states that invariant without first()'s nondeterminism smell
+        .agg(F.max("__sim").alias("__sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (

@@ -183,9 +183,12 @@ def run_validation(
         .partitionBy("bucket")
         .parquet(f"{output}/violations")
     )
+    # the reserved bucket is recomputed from scratch every run: clear it even
+    # when THIS catalog has no global rules, else a rule removed from the
+    # catalog would leave the previous run's table-level violations behind
+    # and read_violations would union stale rows into fresh results
+    _delete_partition_dirs(spark, f"{output}/violations", [RESERVED_BUCKET])
     if global_viol is not None:
-        # reserved bucket: full-dir static overwrite every run (global rules
-        # are recomputed over the whole input regardless of resume state)
         (
             global_viol.select(*VIOLATION_FIELDS)
             .coalesce(1)

@@ -313,3 +313,28 @@ def test_any_of_validation_errors(spark):
             {"type": "exists", "column": "b"},
             {"type": "exists", "column": "nope"},
         ]}]}), key_col="k")
+
+
+def test_null_key_violations_surface(spark):
+    """ADVICE r02 (low): a record with a NULL key column must keep its
+    violations (startswith(NULL) is NULL → where() silently dropped them)
+    and must not read as spuriously passed in verdicts."""
+    from pyspark.sql import functions as F
+
+    from anzlic_validator_spark.engine import is_record_key
+
+    df = spark.createDataFrame(
+        [(None, None, "z", 99, "goodbye", None), ("ok", "alice", "a", 5, "hello", None)],
+        "k string, name string, kind string, n long, note string, alt string",
+    )
+    res = validate(df, parse_catalog(CATALOG), key_col="k")
+    kept = res.violations.where(is_record_key("key"))
+    null_viol = kept.where(F.col("key").isNull()).collect()
+    assert {r.rule_id for r in null_viol} == {
+        "name.exists.missing", "kind.in_set.incorrect",
+        "n.range.incorrect", "note.contains.incorrect",
+    }
+    verd = {r.key: r for r in res.verdicts.collect()}
+    assert verd["ok"].passed
+    assert not verd[None].passed and verd[None].n_violations == 4
+    assert verd[None].first_rule_id == "name.exists.missing"

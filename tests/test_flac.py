@@ -185,3 +185,91 @@ def test_lpc_and_escape_rejected_explicitly():
         fl.decode_flac(bytes(b))
     b[sub_off] = orig
     fl.decode_flac(bytes(b))  # restored stream still decodes
+
+
+def _handcraft_stream(x, sr, bs_code, bs, porder, method=0):
+    """Craft a single-frame FLAC stream with explicit blocksize-code /
+    partition-order fields (paths our encoder never emits)."""
+    import hashlib as _h
+
+    from anzlic_validator_spark.functions import flac as fl
+
+    order = 2
+    hdr = bytearray([0xFF, 0xF8, (bs_code << 4) | 0b0000, (0b0000 << 4) | (0b100 << 1)])
+    hdr += fl._utf8_code(0)
+    if bs_code == 0b0110:
+        hdr += struct.pack(">B", bs - 1)
+    elif bs_code == 0b0111:
+        hdr += struct.pack(">H", bs - 1)
+    hdr.append(fl.crc8(bytes(hdr)))
+
+    blk = x.astype(np.int64)
+    res = blk[order:] - 2 * blk[order - 1 : -1] + blk[: -order]
+    zz = fl._zigzag(res)
+    w = fl._BitWriter()
+    w.write((0b001000 | order) << 1, 8)  # FIXED order 2
+    for s in blk[:order]:
+        w.write(int(s) & 0xFFFF, 16)
+    w.write(method, 2)
+    w.write(porder, 4)
+    pbits = 4 if method == 0 else 5
+    nparts = 1 << porder
+    offs = [0]
+    for p in range(nparts):
+        cnt = max(bs // nparts - (order if p == 0 else 0), 0)
+        offs.append(offs[-1] + cnt)
+    for p in range(nparts):
+        part = zz[offs[p] : offs[p + 1]]
+        k = fl._best_k(part) if len(part) else 0
+        w.write(k, pbits)
+        w.write_bits(fl._rice_bits(part, k))
+    frame = bytes(hdr) + w.to_bytes()
+    frame += struct.pack(">H", fl.crc16(frame))
+
+    si = fl._BitWriter()
+    si.write(bs, 16); si.write(bs, 16); si.write(0, 24); si.write(0, 24)
+    si.write(sr, 20); si.write(0, 3); si.write(15, 5); si.write(len(x), 36)
+    return (fl.MAGIC + bytes([0x80, 0, 0, 34]) + si.to_bytes()
+            + _h.md5(x.astype("<i2").tobytes()).digest() + frame)
+
+
+def test_blocksize_code_192_accepted():
+    """RFC 9639 §9.1.1: bs_code 0b0001 = 192 samples is a valid fixed
+    blocksize our encoder never emits; foreign streams may use it
+    (ADVICE r02 low, flac.py:435)."""
+    from anzlic_validator_spark.functions import flac as fl
+
+    x = _sig(192, seed=5)
+    y, sr = fl.decode_flac(_handcraft_stream(x, 16000, bs_code=0b0001, bs=192, porder=0))
+    assert sr == 16000 and np.array_equal(x, y)
+
+
+def test_porder_defect_is_flac_error_not_valueerror():
+    """ADVICE r02 (high): partition-order bits are NOT covered by the header
+    CRC-8, so a corrupt porder can make bs//nparts < order — must raise
+    FlacError (a per-row violation), never a bare numpy ValueError that
+    would fail the whole Spark task."""
+    from anzlic_validator_spark.functions import flac as fl
+
+    x = _sig(4096, seed=6)
+    # porder 12 → 4096 partitions of 1 sample each: first partition count
+    # would be 1 - order = -1
+    b = _handcraft_stream(x, 16000, bs_code=0b0111, bs=4096, porder=12)
+    with pytest.raises(fl.FlacError, match="partition shorter"):
+        fl.decode_flac(b)
+
+
+def test_every_single_bit_flip_contained_by_audio_decode():
+    """Exhaustive robustness: flip EVERY bit of a valid stream one at a time;
+    audio.decode must always return a (pcm, sr, err) tuple — a structural
+    defect is a per-row violation, never an exception escaping the Arrow UDF."""
+    from anzlic_validator_spark.functions.audio import decode, encode
+
+    sig = np.clip(0.4 * np.sin(np.arange(700) * 0.11), -1, 1).astype(np.float32)
+    b = bytearray(encode(sig, 8000, "flac"))
+    for byte_at in range(len(b)):
+        for bit in (0x01, 0x10, 0x80):
+            b[byte_at] ^= bit
+            pcm, _sr, err = decode(bytes(b), "flac")
+            assert (pcm is None) == (err is not None)
+            b[byte_at] ^= bit

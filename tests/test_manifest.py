@@ -201,3 +201,32 @@ def test_bucket_count_mismatch_rejected(tmp_path):
     m.record_run("r1", "rv", "snap", [], {0: {"rows": 1}}, 0.1)
     with pytest.raises(ValueError, match="n_buckets"):
         Manifest.load(str(tmp_path), n_buckets=16)
+
+def test_removed_global_rule_clears_reserved_bucket(spark, data_dir, tmp_path):
+    # ADVICE r02 (medium): when a global rule is dropped from the catalog,
+    # the previous run's bucket=-1 table-level violations must not persist
+    # and leak into read_violations
+    out = tmp_path / "out"
+    alt = tmp_path / "global_rules.yaml"
+    alt.write_text(
+        "version: 1\n"
+        "rules:\n"
+        "  - {id: clip_id.format, type: format, column: clip_id, pattern: '^clip-'}\n"
+        "  - {id: codec.all_of, type: all_of, column: codec,\n"
+        "     values: [pcm_s16le, wav, flac, opus]}\n"
+    )
+    s1 = _run(spark, data_dir, out, catalog=str(alt))
+    assert s1["table_violations"] == 1
+    vdf = read_violations(spark, str(out))
+    assert vdf.where(vdf.bucket == -1).count() == 1
+    # same rules minus the global one → buckets revalidate, reserved cleared
+    alt2 = tmp_path / "no_global.yaml"
+    alt2.write_text(
+        "version: 1\n"
+        "rules:\n"
+        "  - {id: clip_id.format, type: format, column: clip_id, pattern: '^clip-'}\n"
+    )
+    s2 = _run(spark, data_dir, out, catalog=str(alt2))
+    assert s2["table_violations"] == 0
+    vdf2 = read_violations(spark, str(out))
+    assert vdf2.where(vdf2.bucket == -1).count() == 0

@@ -148,3 +148,77 @@ def test_sample_frames_fanout(spark, fake_images):
     assert len(by_key["a"]) == 4
     assert sorted(r.frame_idx for r in by_key["a"]) == [0, 1, 2, 3]
     assert all(r.err is None for r in by_key["a"])
+
+
+def test_streaming_null_tuple_not_false_duplicate(spark, tmp_path):
+    """ADVICE r02 (low): concat_ws skips NULLs, so ('x', NULL) and (NULL, 'x')
+    both encoded to 'x' and read as false cross-batch duplicates. NULL-bearing
+    tuples must be skipped, matching the in-batch join semantics."""
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    cat = parse_catalog(
+        {"rules": [{"id": "pair.unique", "type": "unique",
+                    "columns": ["codec", "transcript"]}]}
+    )
+    # epoch 0: tuple ('x', NULL)
+    spark.createDataFrame([("clip-1", None, 16000, 500, "x", None)], _CLIPS_DDL).write.parquet(inp)
+    q = validate_stream(spark, inp, cat, out, ckpt)
+    q.awaitTermination(120)
+
+    # epoch 1: (NULL, 'x') — NOT a duplicate of ('x', NULL); plus a genuine
+    # cross-batch duplicate ('wav', 'same') to prove detection still works
+    spark.createDataFrame(
+        [("clip-2", None, 16000, 500, None, "x"),
+         ("clip-3", None, 16000, 500, "wav", "same")],
+        _CLIPS_DDL,
+    ).write.mode("append").parquet(inp)
+    q2 = validate_stream(spark, inp, cat, out, ckpt)
+    q2.awaitTermination(180)
+
+    # epoch 2: the real duplicate tuple arrives
+    spark.createDataFrame(
+        [("clip-4", None, 16000, 500, "wav", "same")], _CLIPS_DDL
+    ).write.mode("append").parquet(inp)
+    q3 = validate_stream(spark, inp, cat, out, ckpt)
+    q3.awaitTermination(180)
+
+    viol_schema = "key string, rule_id string, observed string, expected string, epoch bigint"
+    v = spark.read.schema(viol_schema).parquet(f"{out}/violations")
+    rows = {(r.key, r.observed) for r in v.collect()}
+    assert rows == {("clip-4", "seen_in_epoch=1")}
+
+
+def test_streaming_seen_log_compaction(spark, tmp_path):
+    """VERDICT r02 "missing" #4: the seen-keys log must not grow unbounded —
+    after compaction kicks in, per-batch history reads stay bounded by
+    ~seen_log_max_partitions partitions, and a duplicate of an epoch-0 key
+    surfacing many epochs later still reports first_epoch=0 (history is
+    folded, never lost)."""
+    from anzlic_validator_spark.streaming.incremental import _seen_epoch_dirs
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    cat = parse_catalog(
+        {"rules": [{"id": "clip_id.unique", "type": "unique", "columns": ["clip_id"]}]}
+    )
+
+    def run():
+        q = validate_stream(spark, inp, cat, out, ckpt, seen_log_max_partitions=3)
+        q.awaitTermination(120)
+
+    _clip_rows(spark, ["dup-0", "x0"]).write.parquet(inp)
+    run()  # epoch 0
+    max_dirs = 1
+    for i in range(1, 7):  # epochs 1..6: crosses the fold threshold twice
+        _clip_rows(spark, [f"x{i}"]).write.mode("append").parquet(inp)
+        run()
+        max_dirs = max(max_dirs, len(_seen_epoch_dirs(spark, f"{out}/_seen_keys")))
+    # bounded: threshold + the fold epoch itself + one deferred-delete lag
+    assert max_dirs <= 5
+    dirs = _seen_epoch_dirs(spark, f"{out}/_seen_keys")
+    assert any(dirs.values()), "no compacted fold marker written"
+
+    # the epoch-0 key, long since folded, is still caught with its origin
+    _clip_rows(spark, ["dup-0"]).write.mode("append").parquet(inp)
+    run()  # epoch 7
+    v = spark.read.parquet(f"{out}/violations")
+    rows = {(r.key, r.observed) for r in v.collect()}
+    assert ("dup-0", "seen_in_epoch=0") in rows
