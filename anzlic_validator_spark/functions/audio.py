@@ -44,6 +44,26 @@ KNOWN_CODECS = ("pcm_s16le", "wav", "flac")
 
 _WAV_HDR = struct.Struct("<4sI4s4sIHHIIHH4sI")
 
+# ------------------------------------------------------ codec registry
+# Extension point (VERDICT r02 #8): a container with real codec libraries
+# registers opus/mp3/etc. here and the whole engine — encode-side fixtures
+# and the Arrow decode UDF alike — picks them up without editing decode().
+# decode_fn: (bytes) -> (pcm float32 ndarray, sr_embedded int | None);
+#            raise ValueError/whatever on corrupt input — decode() converts
+#            any exception into a per-row violation string, never a task
+#            failure.
+# encode_fn: (pcm float32 ndarray, sr int) -> bytes
+_CODEC_REGISTRY: dict[str, tuple] = {}
+
+
+def register_codec(name: str, encode_fn, decode_fn) -> None:
+    """Register (or override) a codec. See _CODEC_REGISTRY notes."""
+    _CODEC_REGISTRY[str(name)] = (encode_fn, decode_fn)
+
+
+def registered_codecs() -> tuple[str, ...]:
+    return tuple(_CODEC_REGISTRY)
+
 
 # ---------------------------------------------------------------- encode
 
@@ -68,9 +88,12 @@ def encode(pcm: np.ndarray, sr: int, codec: str) -> bytes:
         return encode_wav(pcm, sr)
     if codec == "flac":
         return encode_flac(_to_s16(pcm), sr)
+    if codec in _CODEC_REGISTRY:
+        return _CODEC_REGISTRY[codec][0](pcm, sr)
     raise NotImplementedError(
         f"codec {codec!r}: opus/mp3 encoders are not available in this "
-        "container — only pcm_s16le/wav/flac are implemented"
+        "container — only pcm_s16le/wav/flac are built in; a full container "
+        "adds them via register_codec()"
     )
 
 
@@ -81,10 +104,13 @@ def _to_s16(pcm: np.ndarray) -> np.ndarray:
 
 # ---------------------------------------------------------------- decode
 
-def decode(b: bytes | None, codec: str | None):
+def decode(b: bytes | None, codec: str | None, registry: dict | None = None):
     """→ (pcm float32 | None, sr_embedded int | None, err str | None).
 
-    sr_embedded is None for headerless codecs (pcm_s16le).
+    sr_embedded is None for headerless codecs (pcm_s16le). ``registry``
+    overrides the module registry — the Arrow UDF passes a driver-side
+    snapshot so codecs registered before UDF creation reach the Python
+    workers (a module-global would be re-imported empty there).
     """
     if b is None or len(b) == 0:
         return None, None, "empty bytes"
@@ -122,6 +148,13 @@ def decode(b: bytes | None, codec: str | None):
             # Arrow UDF and fail the whole Spark task
             return None, sr, f"FLAC decode failed: {exc}"
         return s16.astype(np.float32) / 32767.0, sr_dec, None
+    reg = _CODEC_REGISTRY if registry is None else registry
+    if codec in reg:
+        try:
+            pcm, sr_emb = reg[codec][1](b)
+        except Exception as exc:  # registry contract: exceptions → violation
+            return None, None, f"{codec} decode failed: {exc}"
+        return np.asarray(pcm, dtype=np.float32), sr_emb, None
     return None, None, f"unknown codec {codec!r}"
 
 
@@ -183,6 +216,10 @@ def make_decode_check_udf(ref_seed: int | None):
     ref_seed=None skips the SNR-vs-reference computation (production mode
     where no golden signal exists; decode + consistency checks still run).
     """
+    # snapshot at UDF-creation time: cloudpickle ships the registered codec
+    # functions to the Python workers inside the closure (the module global
+    # would re-import empty there)
+    registry = dict(_CODEC_REGISTRY)
 
     @F.pandas_udf(_CHECK_SCHEMA)
     def decode_check(
@@ -194,7 +231,7 @@ def make_decode_check_udf(ref_seed: int | None):
         counts: list[int | None] = [None] * n_rows
         snrs: list[float | None] = [None] * n_rows
         for j in range(n_rows):
-            pcm, sr_emb, err = decode(b.iloc[j], codec.iloc[j])
+            pcm, sr_emb, err = decode(b.iloc[j], codec.iloc[j], registry)
             errs[j], srs[j] = err, sr_emb
             if pcm is None:
                 continue

@@ -77,8 +77,7 @@ def _crc16_bytewise(data: bytes, c: int = 0) -> int:
 
 _CRC16_BLOCK = 256
 # T[j][v] = CRC-16 contribution of byte v followed by j zero bytes: lets a
-# block reduce to table gathers (vectorized over all blocks), with the
-# running state XOR-folded into the block's first two bytes — the standard
+# block reduce to table gathers (vectorized over all blocks) — the standard
 # slicing-by-N decomposition of an unreflected CRC.
 _CRC16_SLICE = np.zeros((_CRC16_BLOCK, 256), dtype=np.uint16)
 _CRC16_SLICE[0] = _CRC16_TBL.astype(np.uint16)
@@ -88,27 +87,44 @@ for _j in range(1, _CRC16_BLOCK):
         ((_prev << 8) & 0xFFFF) ^ _CRC16_TBL[(_prev >> 8) & 0xFF]
     ).astype(np.uint16)
 
+# column j's flat offset into the row-major slice table: byte at column j is
+# followed by BLOCK-1-j zeros within its block
+_CRC16_COL_OFF = (
+    (np.arange(_CRC16_BLOCK, dtype=np.int64)[::-1]) * 256
+).astype(np.int64)
+_CRC16_SLICE_FLAT = _CRC16_SLICE.reshape(-1)
 
-def crc16(data: bytes) -> int:
+# state propagation through one all-zero block: CRC is linear over GF(2), so
+# crc(state, block) = PROP[state] ^ crc(0, block); built lazily (one-time
+# ~50 ms: 256 vectorized steps over all 65536 states)
+_CRC16_PROP: np.ndarray | None = None
+
+
+def _crc16_prop() -> np.ndarray:
+    global _CRC16_PROP
+    if _CRC16_PROP is None:
+        s = np.arange(65536, dtype=np.uint32)
+        for _ in range(_CRC16_BLOCK):
+            s = ((s << 8) & 0xFFFF) ^ _CRC16_TBL[(s >> 8) & 0xFF]
+        _CRC16_PROP = s.astype(np.uint16)
+    return _CRC16_PROP
+
+
+def crc16(data: bytes, c: int = 0) -> int:
     n = len(data)
     nblocks = n // _CRC16_BLOCK
-    if nblocks < 2:
-        return _crc16_bytewise(data)
+    if nblocks < 1:
+        return _crc16_bytewise(data, c)
     arr = np.frombuffer(data, dtype=np.uint8, count=nblocks * _CRC16_BLOCK).reshape(
         nblocks, _CRC16_BLOCK
     )
-    # per-block partial CRC over bytes 2..63 (state-independent) — one
-    # vectorized gather+XOR per column, C-speed across all blocks
-    rest = np.zeros(nblocks, dtype=np.uint16)
-    for j in range(2, _CRC16_BLOCK):
-        rest ^= _CRC16_SLICE[_CRC16_BLOCK - 1 - j][arr[:, j]]
-    t_hi = _CRC16_SLICE[_CRC16_BLOCK - 1]
-    t_lo = _CRC16_SLICE[_CRC16_BLOCK - 2]
-    b0 = arr[:, 0]
-    b1 = arr[:, 1]
-    c = 0
-    for i in range(nblocks):  # short loop: 3 gathers per 64 bytes
-        c = int(t_hi[b0[i] ^ (c >> 8)]) ^ int(t_lo[b1[i] ^ (c & 0xFF)]) ^ int(rest[i])
+    # state-independent per-block partial: ONE flat gather over every byte +
+    # one XOR reduction — two C passes instead of a per-column Python loop
+    contrib = _CRC16_SLICE_FLAT[_CRC16_COL_OFF[None, :] + arr]
+    rest = np.bitwise_xor.reduce(contrib, axis=1)
+    prop = _crc16_prop()
+    for r in rest:  # short serial chain: 1 gather per 256 bytes
+        c = int(prop[c]) ^ int(r)
     return _crc16_bytewise(data[nblocks * _CRC16_BLOCK :], c)
 
 
@@ -285,9 +301,14 @@ def _rice_decode(
     if lo >= total_ones:
         raise FlacError("rice stream exhausted")
     last_bit = len(bits) - 1
-    # expected ones per code = 1 (terminator) + k/2 (payload bits); 25%
-    # headroom, widen-on-demand below covers heavy-tailed residuals
-    window = (n * (k + 2) * 5) // 8 + 64
+    # Index arrays stay int64 on purpose: numpy silently CONVERTS non-intp
+    # index arrays on every fancy-indexing call, so int32 indices measured
+    # 2.4x slower here, not faster.
+    # Window: expected ones per code = 1 (terminator) + k/2 (payload bits),
+    # so the expectation is n*(k+2)/2; ~6% headroom suffices at block-size n
+    # (CLT concentrates the sum) and every saved window element is one fewer
+    # gather per squaring round; widen-on-demand covers heavy tails
+    window = (n * (k + 2) * 17) // 32 + 64
     t = None
     while True:
         hi = min(lo + window, total_ones)
@@ -302,15 +323,33 @@ def _rice_decode(
         chain[0] = 0  # first one at/after pos
         filled = 1
         exhausted = n > 1 and sentinel < 2
+        buf = None
+        # jump == succ^power throughout; chain[m] = succ^power(chain[m-power])
+        # for any m-power < filled. Squaring jump costs a FULL-window gather
+        # per round (the cost center), so double only up to stride_cap and
+        # walk the remaining chain in power-sized strides: log2(cap)
+        # squarings + n/cap stride gathers instead of log2(n) squarings.
+        power = 1
+        stride_cap = 512
         while filled < n and not exhausted:
-            take = min(filled, n - filled)
-            nxt = jump[chain[:take]]
+            take = min(power, n - filled)
+            src = chain[filled - power : filled - power + take]
+            nxt = np.take(jump, src, mode="clip")  # indices known valid
             if int(nxt[-1]) >= sentinel:  # monotone chain: last is max
                 exhausted = True
                 break
             chain[filled : filled + take] = nxt
             filled += take
-            jump = jump[jump]  # double: succ^m -> succ^2m
+            # square only while the doubled power still has a valid source
+            # window (filled - 2*power >= 0 next round)
+            if filled < n and power < stride_cap and 2 * power <= filled:
+                if buf is None:
+                    buf = np.empty_like(jump)
+                # double succ^m -> succ^2m; take(mode='clip') skips the
+                # bounds-check pass a fancy-index gather pays
+                np.take(jump, jump, out=buf, mode="clip")
+                jump, buf = buf, jump
+                power *= 2
         if not exhausted:
             t = ones[chain]
             break
@@ -328,8 +367,19 @@ def _rice_decode(
         idx = t[:, None] + 1 + cols[None, :]
         if int(idx[-1, -1]) >= len(bits):
             raise FlacError("rice stream exhausted")
-        vals = bits[idx].astype(np.int64)
-        r = vals @ (1 << np.arange(k - 1, -1, -1, dtype=np.int64))
+        vals = np.take(bits, idx, mode="clip")  # range checked above
+        if k <= 16:
+            # MSB-first payload via packbits — C bit packing, no (n, k)
+            # int64 temp, no integer matmul
+            packed = np.packbits(vals, axis=1)
+            if k <= 8:
+                r = packed[:, 0] >> (8 - k)
+            else:
+                r = (packed[:, 0].astype(np.int64) << (k - 8)) | (
+                    packed[:, 1] >> (16 - k)
+                )
+        else:  # foreign 5-bit-parameter streams with k>16: generic fold
+            r = vals.astype(np.int64) @ (1 << np.arange(k - 1, -1, -1, dtype=np.int64))
         end = int(t[-1]) + 1 + k
     else:
         r = np.zeros(n, dtype=np.int64)
@@ -411,7 +461,9 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         raise FlacError(f"unsupported layout: channels={channels} bps={bps}")
 
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-    ones_all = np.flatnonzero(bits).astype(np.int64)  # once per stream
+    # bool view: numpy's nonzero has a specialized bool path ~1.8x faster
+    # than uint8 (bits holds only 0/1, so the view is exact)
+    ones_all = np.flatnonzero(bits.view(np.bool_))  # once per stream
     cum = np.cumsum(bits, dtype=np.int32)  # cum[x] = #ones in bits[0..x]
     pos = off * 8
     out: list[np.ndarray] = []

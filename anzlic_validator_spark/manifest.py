@@ -60,19 +60,39 @@ def _fingerprint(entries: list) -> str:
 
 
 def input_snapshot(paths: list[str]) -> str:
-    """Fingerprint of the input files (path, size, mtime) — the parquet-dir
-    stand-in for an Iceberg snapshot id."""
-    return _fingerprint(_walk_entries(paths))
+    """Global input fingerprint. Iceberg table dirs contribute their EXACT
+    current snapshot id (sources/iceberg_meta.py — readable without the
+    runtime); plain dirs fall back to file (path, size, mtime) stats."""
+    from anzlic_validator_spark.sources.iceberg_meta import iceberg_snapshot
+
+    entries: list = []
+    for p in sorted(paths):
+        snap = iceberg_snapshot(p)
+        if snap is not None:
+            entries.append(("iceberg", p, snap["snapshot_id"], snap["sequence_number"]))
+        else:
+            entries.extend(_walk_entries([p]))
+    return _fingerprint(entries)
 
 
 _BUCKET_DIR = re.compile(r"(?:^|/)bucket=(-?\d+)(?:/|$)")
 
 
-def input_snapshots_per_bucket(paths: list[str], n_buckets: int) -> dict[int, str]:
+def input_snapshots_per_bucket(
+    paths: list[str], n_buckets: int, spark=None
+) -> dict[int, str]:
     """Per-bucket snapshot fingerprints (VERDICT r01 #8): when the input is
     bucket-partitioned (``bucket=N`` dirs — the engine's own output layout,
     or an Iceberg table partitioned by ``bucket(n, key)``), a one-file touch
     revalidates exactly the affected bucket instead of everything.
+
+    Iceberg inputs (VERDICT r02 #7) take the exact-metadata ladder of
+    sources/iceberg_meta.py: with the runtime present (pass ``spark``),
+    per-partition fingerprints from the ``#files`` metadata table — a
+    single-partition append revalidates exactly one bucket; without it, the
+    table-level snapshot id folds into every bucket's fingerprint (exact
+    skip-if-no-change, global granularity). File-stat walking applies only
+    to plain directories.
 
     CONTRACT: the input's bucket values must come from the SAME key/bucket
     function the run uses (pmod(xxhash64(cast(key as string)), n_buckets)) —
@@ -82,15 +102,30 @@ def input_snapshots_per_bucket(paths: list[str], n_buckets: int) -> dict[int, st
     folded into EVERY bucket, so any unpartitioned change still invalidates
     all buckets — the safe fallback equals the global snapshot behavior.
     """
+    from anzlic_validator_spark.sources.iceberg_meta import (
+        iceberg_partition_fingerprints,
+        iceberg_snapshot,
+    )
+
     per_bucket: dict[int, list] = {b: [] for b in range(n_buckets)}
     residue: list = []
-    for fp, size, mtime in _walk_entries(paths):
-        m = _BUCKET_DIR.search(fp)
-        b = int(m.group(1)) if m else None
-        if b is not None and 0 <= b < n_buckets:
-            per_bucket[b].append((fp, size, mtime))
-        else:
-            residue.append((fp, size, mtime))
+    for p in sorted(paths):
+        snap = iceberg_snapshot(p)
+        if snap is not None:
+            pf = iceberg_partition_fingerprints(spark, p, n_buckets)
+            if pf is not None:
+                for b in range(n_buckets):
+                    per_bucket[b].append(("iceberg-part", p, pf[b]))
+            else:
+                residue.append(("iceberg", p, snap["snapshot_id"], snap["sequence_number"]))
+            continue
+        for fp, size, mtime in _walk_entries([p]):
+            m = _BUCKET_DIR.search(fp)
+            b = int(m.group(1)) if m else None
+            if b is not None and 0 <= b < n_buckets:
+                per_bucket[b].append((fp, size, mtime))
+            else:
+                residue.append((fp, size, mtime))
     return {b: _fingerprint([per_bucket[b], residue]) for b in range(n_buckets)}
 
 

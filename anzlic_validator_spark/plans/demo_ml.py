@@ -197,22 +197,25 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("h")), "q_id", "left")
         .select((F.coalesce("h", F.lit(0)) / F.col("n")).alias("recall"))
     )
+    # contract columns only (VERDICT r02 #6): the measured min/mean recall
+    # are deliberately NOT part of the compared output — freezing them in
+    # the oracle made every parameter retune an oracle edit. The thresholds
+    # appear as literal columns so the contract is self-describing; the
+    # recall_ok flag is the durable assertion (with margin under retuning).
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.lit(5).alias("k"),
-        F.round(F.min("recall"), 4).alias("min_recall"),
-        F.round(F.avg("recall"), 4).alias("mean_recall"),
+        F.lit(0.6).alias("min_recall_threshold"),
+        F.lit(0.85).alias("mean_recall_threshold"),
         ((F.min("recall") >= 0.6) & (F.avg("recall") >= 0.85)).alias("recall_ok"),
     )
 
 
-# the recall figures are exact fixtures (deterministic pipeline); the flags
-# are the durable contract — they survive parameter retuning with margin
 SQL_ANN_LSH = """
 SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
        CAST(5 AS INT) AS k,
-       CAST(0.8 AS DOUBLE) AS min_recall,
-       CAST(0.96 AS DOUBLE) AS mean_recall,
+       CAST(0.6 AS DOUBLE) AS min_recall_threshold,
+       CAST(0.85 AS DOUBLE) AS mean_recall_threshold,
        true AS recall_ok
 """
 

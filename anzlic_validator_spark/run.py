@@ -118,7 +118,7 @@ def run_validation(
     # same key/bucket function) revalidates only the touched bucket; an
     # unpartitioned input degrades to the global-snapshot behavior because
     # every file lands in the shared residue folded into each bucket
-    snapshots = input_snapshots_per_bucket(input_paths or [], n_buckets)
+    snapshots = input_snapshots_per_bucket(input_paths or [], n_buckets, spark=spark)
     manifest = Manifest.load(output, n_buckets=n_buckets)
     pending = manifest.pending_buckets(rule_versions, snapshots)
     summary = {

@@ -1,0 +1,146 @@
+"""Iceberg table-metadata layer — snapshot-exact resume without the runtime.
+
+The Iceberg table spec keeps its metadata as plain JSON
+(``{table}/metadata/vN.metadata.json`` + ``version-hint.text`` in the
+Hadoop-catalog layout), so the CURRENT SNAPSHOT ID is readable with no
+Iceberg jars at all. That id is an exact, engine-independent change signal:
+any commit bumps it, no commit leaves it unchanged — strictly stronger than
+the file-stat (size, mtime) fingerprints the manifest falls back to for
+plain parquet dirs (mtimes suffer clock skew and same-second rewrites).
+
+Granularity ladder (manifest.py integrates all three):
+1. runtime present → per-partition fingerprints from the ``#files``
+   metadata table: a single-partition append revalidates exactly one bucket;
+2. metadata JSON only (this module, no jars) → table-level snapshot id:
+   exact skip-if-no-change, all-bucket revalidation on any commit;
+3. plain parquet dir → file-stat walk (manifest._walk_entries).
+
+Reference analog: the fetch-history pickle that makes resume exact
+(/root/reference/scripts/resolve.py:150-187).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+_META_FILE = re.compile(r"^(?:v(\d+))?.*\.metadata\.json$")
+
+
+def _metadata_dir(path: str) -> str | None:
+    d = os.path.join(path, "metadata")
+    return d if os.path.isdir(d) else None
+
+
+def latest_metadata_file(path: str) -> str | None:
+    """The current ``*.metadata.json`` of an Iceberg table dir, else None.
+
+    Prefers ``version-hint.text`` (Hadoop catalog); falls back to the
+    highest version prefix, then newest mtime (UUID-named metadata from
+    other catalogs).
+    """
+    d = _metadata_dir(path)
+    if d is None:
+        return None
+    hint = os.path.join(d, "version-hint.text")
+    if os.path.exists(hint):
+        try:
+            with open(hint, encoding="utf-8") as fh:
+                v = int(fh.read().strip())
+            cand = os.path.join(d, f"v{v}.metadata.json")
+            if os.path.exists(cand):
+                return cand
+        except (ValueError, OSError):
+            pass
+    best: tuple[int, float, str] | None = None
+    for name in os.listdir(d):
+        m = _META_FILE.match(name)
+        if not m:
+            continue
+        fp = os.path.join(d, name)
+        ver = int(m.group(1)) if m.group(1) else -1
+        key = (ver, os.stat(fp).st_mtime, fp)
+        if best is None or key > best:
+            best = key
+    return best[2] if best else None
+
+
+def iceberg_snapshot(path: str) -> dict | None:
+    """{"snapshot_id", "sequence_number", "metadata_file"} for an Iceberg
+    table dir, None if ``path`` is not one (or metadata is unreadable —
+    callers then fall back to file-stat fingerprints)."""
+    mf = latest_metadata_file(path)
+    if mf is None:
+        return None
+    try:
+        with open(mf, encoding="utf-8") as fh:
+            doc = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+    snap_id = doc.get("current-snapshot-id")
+    if snap_id in (None, -1):
+        return None
+    return {
+        "snapshot_id": int(snap_id),
+        "sequence_number": int(doc.get("last-sequence-number", 0)),
+        "metadata_file": os.path.basename(mf),
+    }
+
+
+def _iceberg_runtime(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — classpath probe
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_partition_fingerprints(spark, path: str, n_buckets: int) -> dict[int, str] | None:
+    """Per-bucket fingerprints from the Iceberg ``#files`` metadata table —
+    requires the runtime (the manifest Avro layer is not JSON). Returns None
+    when the runtime is absent or the table is not partitioned by an
+    integer ``bucket`` column matching the manifest's bucket contract
+    (manifest.input_snapshots_per_bucket docstring); callers then degrade to
+    the table-level snapshot id.
+
+    With this, appending data files to ONE partition changes exactly that
+    bucket's fingerprint: the restarted run revalidates one bucket.
+    """
+    import hashlib
+
+    if spark is None or not _iceberg_runtime(spark):
+        return None
+    try:
+        files = spark.read.format("iceberg").load(f"{path}#files")
+        cols = {f.name for f in files.schema.fields}
+        if "partition" not in cols:
+            return None
+        part_fields = {f.name for f in files.schema["partition"].dataType.fields}
+        if "bucket" not in part_fields:
+            return None
+        rows = (
+            files.selectExpr(
+                "partition.bucket AS bucket", "file_path", "file_size_in_bytes", "record_count"
+            )
+            .collect()
+        )
+    except Exception:
+        return None
+    per: dict[int, list] = {b: [] for b in range(n_buckets)}
+    residue: list = []
+    for r in rows:
+        b = r.bucket
+        ent = (r.file_path, int(r.file_size_in_bytes), int(r.record_count))
+        if b is not None and 0 <= int(b) < n_buckets:
+            per[int(b)].append(ent)
+        else:
+            residue.append(ent)
+    residue.sort()
+    out = {}
+    for b in range(n_buckets):
+        per[b].sort()
+        out[b] = hashlib.sha256(json.dumps([per[b], residue]).encode()).hexdigest()[:16]
+    return out

@@ -230,3 +230,79 @@ def test_removed_global_rule_clears_reserved_bucket(spark, data_dir, tmp_path):
     assert s2["table_violations"] == 0
     vdf2 = read_violations(spark, str(out))
     assert vdf2.where(vdf2.bucket == -1).count() == 0
+
+
+def _mk_iceberg_meta(table_dir, version, snap_id, seq, hint=True):
+    meta = table_dir / "metadata"
+    meta.mkdir(parents=True, exist_ok=True)
+    (meta / f"v{version}.metadata.json").write_text(json.dumps({
+        "format-version": 2,
+        "current-snapshot-id": snap_id,
+        "last-sequence-number": seq,
+        "snapshots": [],
+    }))
+    if hint:
+        (meta / "version-hint.text").write_text(str(version))
+
+
+def test_iceberg_snapshot_metadata_layer(tmp_path):
+    """VERDICT r02 #7: Iceberg inputs fingerprint from the table's snapshot
+    id (plain-JSON metadata, no runtime) — exact: immune to data-file stat
+    churn, changed by every commit."""
+    from anzlic_validator_spark.manifest import input_snapshot, input_snapshots_per_bucket
+    from anzlic_validator_spark.sources.iceberg_meta import iceberg_snapshot
+
+    t = tmp_path / "tbl"
+    (t / "data").mkdir(parents=True)
+    (t / "data" / "f1.parquet").write_bytes(b"AAAA")
+    _mk_iceberg_meta(t, 2, 1111, 5)
+    snap = iceberg_snapshot(str(t))
+    assert snap == {"snapshot_id": 1111, "sequence_number": 5, "metadata_file": "v2.metadata.json"}
+    # not an iceberg dir -> None (file-stat fallback)
+    assert iceberg_snapshot(str(tmp_path)) is None
+
+    f1 = input_snapshot([str(t)])
+    b1 = input_snapshots_per_bucket([str(t)], 4)
+    # data-file churn does NOT move the fingerprint (mtime/size ignored)
+    (t / "data" / "f1.parquet").write_bytes(b"BBBBBBBB")
+    (t / "data" / "f2.parquet").write_bytes(b"CC")
+    assert input_snapshot([str(t)]) == f1
+    assert input_snapshots_per_bucket([str(t)], 4) == b1
+    # a commit (new snapshot) moves EVERY bucket's fingerprint
+    _mk_iceberg_meta(t, 3, 2222, 6)
+    assert input_snapshot([str(t)]) != f1
+    b2 = input_snapshots_per_bucket([str(t)], 4)
+    assert all(b2[i] != b1[i] for i in range(4))
+
+
+def test_iceberg_latest_metadata_without_hint(tmp_path):
+    from anzlic_validator_spark.sources.iceberg_meta import iceberg_snapshot
+
+    t = tmp_path / "tbl"
+    _mk_iceberg_meta(t, 1, 10, 1, hint=False)
+    _mk_iceberg_meta(t, 7, 70, 7, hint=False)
+    _mk_iceberg_meta(t, 3, 30, 3, hint=False)
+    assert iceberg_snapshot(str(t))["snapshot_id"] == 70
+
+
+def test_iceberg_partition_append_revalidates_one_bucket(spark, tmp_path):
+    """Runtime-gated (skipped without Iceberg jars): appending to ONE
+    partition of a bucket-partitioned Iceberg table changes exactly that
+    bucket's fingerprint, so a restarted run revalidates one bucket."""
+    from anzlic_validator_spark.sources.iceberg_meta import (
+        _iceberg_runtime,
+        iceberg_partition_fingerprints,
+    )
+
+    if not _iceberg_runtime(spark):
+        pytest.skip("Iceberg runtime not on the classpath in this image")
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS clip_id", "CAST(id % 4 AS INT) AS bucket")
+    df.write.format("iceberg").partitionBy("bucket").save(t)
+    f1 = iceberg_partition_fingerprints(spark, t, 4)
+    spark.createDataFrame([("x", 2)], "clip_id string, bucket int").write.format(
+        "iceberg"
+    ).mode("append").save(t)
+    f2 = iceberg_partition_fingerprints(spark, t, 4)
+    changed = [b for b in range(4) if f1[b] != f2[b]]
+    assert changed == [2]
