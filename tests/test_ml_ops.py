@@ -241,3 +241,35 @@ def test_bucket_cap_census_is_lazy(spark, caplog):
     census = [r for r in caplog.records if "oversized LSH buckets" in r.message]
     assert census, "bucket census was not logged after the action"
     sc.setJobGroup("", "")
+
+
+def test_lsh_candidate_pairs_edges(spark):
+    from anzlic_validator_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [(1, 0, 10), (2, 0, 10), (3, 0, 10), (4, 1, 20), (9, 2, 99)]
+    df = spark.createDataFrame(rows, "id long, tbl int, bkt long")
+    pairs = lsh_candidate_pairs(df, ["tbl", "bkt"], ["id"], None, "t").collect()
+    got = sorted((r.a.id, r.b.id) for r in pairs)
+    assert got == [(1, 2), (1, 3), (2, 3)]  # singleton buckets yield nothing
+
+    # cap boundary: bucket of size exactly max_bucket_size is KEPT
+    capped = lsh_candidate_pairs(df, ["tbl", "bkt"], ["id"], 3, "t").collect()
+    assert sorted((r.a.id, r.b.id) for r in capped) == [(1, 2), (1, 3), (2, 3)]
+    dropped = lsh_candidate_pairs(df, ["tbl", "bkt"], ["id"], 2, "t").collect()
+    assert dropped == []
+
+    # same pair via two tables appears once; payload fields survive
+    rows2 = [(1, 0, 5, "s1"), (2, 0, 5, "s2"), (1, 1, 7, "s1"), (2, 1, 7, "s2")]
+    df2 = spark.createDataFrame(rows2, "id long, tbl int, bkt long, sig string")
+    out = lsh_candidate_pairs(df2, ["tbl", "bkt"], ["id", "sig"], None, "t").collect()
+    assert len(out) == 1 and out[0].a.sig == "s1" and out[0].b.sig == "s2"
+
+    # empty input
+    assert lsh_candidate_pairs(
+        spark.createDataFrame([], "id long, tbl int, bkt long"),
+        ["tbl", "bkt"], ["id"], 5, "t",
+    ).count() == 0
+
+    # duplicate ids inside one bucket never self-pair
+    df3 = spark.createDataFrame([(1, 0, 3), (1, 0, 3)], "id long, tbl int, bkt long")
+    assert lsh_candidate_pairs(df3, ["tbl", "bkt"], ["id"], None, "t").count() == 0
