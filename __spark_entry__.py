@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": demo_ml.q_dedup_exact,
         "dedup_minhash": demo_ml.q_dedup_minhash,
         "dedup_simhash": demo_ml.q_dedup_simhash,
+        "dedup_winnow": demo_ml.q_dedup_winnow,
         "dedup_embedding": demo_ml.q_dedup_embedding,
         "ann_bruteforce": demo_ml.q_ann_bruteforce,
         "ann_lsh": demo_ml.q_ann_lsh,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": demo_ml.SQL_DEDUP_EXACT,
         "dedup_minhash": demo_ml.SQL_DEDUP_MINHASH,
         "dedup_simhash": demo_ml.SQL_DEDUP_SIMHASH,
+        "dedup_winnow": demo_ml.SQL_DEDUP_WINNOW,
         "dedup_embedding": demo_ml.SQL_DEDUP_EMBEDDING,
         "ann_bruteforce": demo_ml.SQL_ANN_BRUTEFORCE,
         "ann_lsh": demo_ml.SQL_ANN_LSH,

@@ -70,9 +70,13 @@ def lsh_candidate_pairs(
     payload_cols: list[str],
     max_bucket_size: int | None,
     what: str,
+    counts: bool = False,
 ) -> DataFrame:
     """Bucketed rows → distinct candidate pairs ``(a, b)`` (payload structs,
-    ``a.id < b.id``). ``payload_cols`` must include ``id``.
+    ``a.id < b.id``). ``payload_cols`` must include ``id``. With
+    ``counts=True`` the result carries ``n_shared`` — how many buckets the
+    pair co-occurred in (winnowing-style overlap counting) — instead of
+    being distinct-ed.
 
     Pair generation is a per-bucket ``collect_list`` + pairwise array
     expansion instead of a bucket self-join: ONE shuffle on the bucket key
@@ -149,12 +153,14 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    return (
+    base = (
         grouped.select(F.explode(pairs).alias("__pr"))
         .select("__pr.a", "__pr.b")
         .where(F.col("a.id") != F.col("b.id"))  # defend against duplicate input ids
-        .distinct()
     )
+    if counts:
+        return base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+    return base.distinct()
 
 
 # ---------------------------------------------------------------- exact

@@ -65,6 +65,79 @@ def predict_language(col: Column, threshold: float = 0.05) -> Column:
     return best_lang
 
 
+def kgram_hashes(col: Column, k: int = 3) -> Column:
+    """Positional k-word-gram hashes (duplicates kept, document order).
+
+    Hash = first 16 hex chars of md5(gram) — the vectorized stand-in for a
+    rolling Rabin-Karp hash: Catalyst computes every gram hash in one
+    codegen pass, so the incremental-update trick a rolling hash exists for
+    buys nothing in a columnar engine, while md5 keeps the values exactly
+    reproducible in the DuckDB oracle. Documents shorter than k tokens get
+    the single whole-document hash.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.when(
+        n >= k, F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    ).otherwise(F.array(F.substring(F.md5(F.array_join(toks, " ")), 1, 16)))
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): the min k-gram hash of every window of ``w`` consecutive
+    grams, distinct per document → (doc_id, fp) rows.
+
+    Guarantee: any shared token run of length >= w + k - 1 between two
+    documents yields at least one shared fingerprint, while only ~2/(w+1)
+    of gram hashes are kept. Pure Catalyst — sequence/slice/array_min in
+    one codegen projection, zero shuffle before the explode.
+    """
+    hs = kgram_hashes(F.col(text_col), k)
+    m = F.size(hs)
+    wins = F.when(
+        m >= w,
+        F.transform(F.sequence(F.lit(1), m - (w - 1)), lambda i: F.array_min(F.slice(hs, i, w))),
+    ).otherwise(F.array(F.array_min(hs)))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def winnow_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints →
+    (a_id, b_id, n_shared), a_id < b_id, n_shared >= min_shared.
+
+    Same scale shape as the LSH dedups: fingerprints are the buckets, the
+    one shuffle is the per-fingerprint grouping (lsh_candidate_pairs), and
+    ``max_bucket_size`` caps pathological fingerprints (boilerplate) with
+    the logged census.
+    """
+    from anzlic_validator_spark.operators.dedup import lsh_candidate_pairs
+
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
+        F.col("doc_id").alias("id"), "fp"
+    )
+    pairs = lsh_candidate_pairs(fps, ["fp"], ["id"], max_bucket_size, "winnow", counts=True)
+    return (
+        pairs.where(F.col("n_shared") >= min_shared)
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), "n_shared")
+    )
+
+
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features → one row per doc.
 

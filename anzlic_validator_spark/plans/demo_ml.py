@@ -99,6 +99,47 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE
 """
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dups (document fingerprinting / rolling-
+    hash family): pairs sharing >= 2 selected k-gram hashes. The truncated
+    copies share all but the tail of their token stream, so they share long
+    gram runs -> multiple fingerprints; unrelated docs share none (128-bit
+    gram space). Exact-reproducible oracle: md5-derived hashes + the same
+    window-min selection in DuckDB list functions."""
+    from anzlic_validator_spark.operators.text import winnow_near_duplicates
+
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    return winnow_near_duplicates(corpus, "text", "doc_id", k=3, w=4, min_shared=2)
+
+
+SQL_DEDUP_WINNOW = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ')
+  FROM documents WHERE doc_id % 10 = 0
+),
+toks AS (SELECT doc_id, string_split(text,' ') AS t FROM corpus),
+hs AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t)-1), i -> substring(md5(array_to_string(t[i:i+2],' ')),1,16))
+    ELSE [substring(md5(array_to_string(t,' ')),1,16)] END AS h
+  FROM toks),
+wins AS (
+  SELECT doc_id,
+    CASE WHEN len(h) >= 4 THEN
+      list_distinct(list_transform(range(1, len(h)-2), i -> list_aggregate(h[i:i+3],'min')))
+    ELSE [list_aggregate(h,'min')] END AS fps
+  FROM hs),
+f AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups, now with a full value oracle: the md5 bit-vote
     signature is reproducible in DuckDB (md5_number_upper == the first 8

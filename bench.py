@@ -158,6 +158,7 @@ QUERY_NAMES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_winnow",
     "dedup_embedding",
     "ann_bruteforce",
     "ann_lsh",

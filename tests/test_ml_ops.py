@@ -273,3 +273,31 @@ def test_lsh_candidate_pairs_edges(spark):
     # duplicate ids inside one bucket never self-pair
     df3 = spark.createDataFrame([(1, 0, 3), (1, 0, 3)], "id long, tbl int, bkt long")
     assert lsh_candidate_pairs(df3, ["tbl", "bkt"], ["id"], None, "t").count() == 0
+
+
+def test_winnow_fingerprints_and_near_dups(spark):
+    """Winnowing (MOSS): shared token runs >= w+k-1 guarantee a shared
+    fingerprint; unrelated docs share none; short docs degrade to a single
+    whole-document hash."""
+    from anzlic_validator_spark.operators.text import winnow_fingerprints, winnow_near_duplicates
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different words here nothing matches at all"),
+        (4, "tiny doc"),
+        (5, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "text", "doc_id")
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]            # long shared run -> shared fp
+    assert not (by_doc[1] & by_doc[3])      # unrelated -> disjoint
+    assert by_doc[4] == by_doc[5] and len(by_doc[4]) == 1  # short-doc fallback
+
+    pairs = {(r.a_id, r.b_id): r.n_shared
+             for r in winnow_near_duplicates(df, "text", "doc_id", min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(a != 3 and b != 3 for a, b in pairs)
