@@ -151,3 +151,41 @@ def test_all_on_config_fails_correct_rows(spark):
     assert verd.where("NOT passed").count() > 0
     failed_rules = {r.rule_id for r in res.violations.collect()}
     assert "codec.value.incorrect" in failed_rules
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=6000),
+    sr=st.sampled_from([8000, 16000, 22050, 44100]),
+)
+def test_flac_roundtrip_property(samples, sr):
+    """Any int16 signal round-trips the FLAC codec exactly (lossless)."""
+    import numpy as np
+
+    from anzlic_validator_spark.functions.flac import decode_flac, encode_flac
+
+    x = np.array(samples, dtype=np.int16)
+    y, sr_out = decode_flac(encode_flac(x, sr))
+    assert sr_out == sr
+    assert np.array_equal(x, y)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    shared=st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=10),
+    pre=st.lists(st.sampled_from("pqrstuv"), min_size=0, max_size=5),
+    post=st.lists(st.sampled_from("wxyz"), min_size=0, max_size=5),
+)
+def test_winnow_shared_run_guarantee(spark, shared, pre, post):
+    """Winnowing guarantee: a shared token run of length >= w + k - 1
+    (here 6 with k=3, w=4) always yields at least one shared fingerprint,
+    regardless of surrounding context."""
+    from anzlic_validator_spark.operators.text import winnow_fingerprints
+
+    doc_a = " ".join(shared)
+    doc_b = " ".join(pre + shared + post)
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    fps = winnow_fingerprints(df, "text", "doc_id").collect()
+    a = {r.fp for r in fps if r.doc_id == 1}
+    b = {r.fp for r in fps if r.doc_id == 2}
+    assert a & b
