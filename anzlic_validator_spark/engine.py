@@ -184,16 +184,21 @@ class ValidationResult:
         and never shuffles row-level data.
         """
         key_bucket = F.pmod(F.xxhash64(F.col("key")), F.lit(n_buckets)).alias("bucket")
+        # count_distinct skips NULLs, but NULL keys ARE record keys (see
+        # is_record_key): coalesce to a sentinel so a NULL-keyed failing
+        # record counts in rows/failed_rows instead of yielding the
+        # contradiction rows=0, passed=true, violations>0
+        counted_key = F.coalesce(F.col("key"), F.lit("\x00<null-key>"))
         rows_per_bucket = (
             self.df.select(F.col(self.key_col).cast("string").alias("key"))
             .groupBy(key_bucket)
-            .agg(F.count_distinct(F.col("key")).alias("rows"))
+            .agg(F.count_distinct(counted_key).alias("rows"))
         )
         viol_per_bucket = (
             self.violations_ranked.where(is_record_key("key"))
             .groupBy(key_bucket)
             .agg(
-                F.count_distinct(F.col("key")).alias("failed_rows"),
+                F.count_distinct(counted_key).alias("failed_rows"),
                 F.count(F.lit(1)).alias("violations"),
             )
         )

@@ -82,14 +82,16 @@ def encode_wav(pcm: np.ndarray, sr: int) -> bytes:
 
 
 def encode(pcm: np.ndarray, sr: int, codec: str) -> bytes:
+    # registry FIRST: register_codec("flac", ...) must actually override the
+    # built-in (e.g. a container swapping in libFLAC), per its contract
+    if codec in _CODEC_REGISTRY:
+        return _CODEC_REGISTRY[codec][0](pcm, sr)
     if codec == "pcm_s16le":
         return encode_pcm_s16le(pcm)
     if codec == "wav":
         return encode_wav(pcm, sr)
     if codec == "flac":
         return encode_flac(_to_s16(pcm), sr)
-    if codec in _CODEC_REGISTRY:
-        return _CODEC_REGISTRY[codec][0](pcm, sr)
     raise NotImplementedError(
         f"codec {codec!r}: opus/mp3 encoders are not available in this "
         "container — only pcm_s16le/wav/flac are built in; a full container "
@@ -114,6 +116,13 @@ def decode(b: bytes | None, codec: str | None, registry: dict | None = None):
     """
     if b is None or len(b) == 0:
         return None, None, "empty bytes"
+    reg = _CODEC_REGISTRY if registry is None else registry
+    if codec in reg:  # registry first: registered codecs override built-ins
+        try:
+            pcm, sr_emb = reg[codec][1](b)
+        except Exception as exc:  # registry contract: exceptions → violation
+            return None, None, f"{codec} decode failed: {exc}"
+        return np.asarray(pcm, dtype=np.float32), sr_emb, None
     if codec == "pcm_s16le":
         if len(b) % 2:
             return None, None, "odd byte length for s16le"
@@ -148,13 +157,6 @@ def decode(b: bytes | None, codec: str | None, registry: dict | None = None):
             # Arrow UDF and fail the whole Spark task
             return None, sr, f"FLAC decode failed: {exc}"
         return s16.astype(np.float32) / 32767.0, sr_dec, None
-    reg = _CODEC_REGISTRY if registry is None else registry
-    if codec in reg:
-        try:
-            pcm, sr_emb = reg[codec][1](b)
-        except Exception as exc:  # registry contract: exceptions → violation
-            return None, None, f"{codec} decode failed: {exc}"
-        return np.asarray(pcm, dtype=np.float32), sr_emb, None
     return None, None, f"unknown codec {codec!r}"
 
 

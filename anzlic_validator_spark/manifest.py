@@ -69,7 +69,12 @@ def input_snapshot(paths: list[str]) -> str:
     for p in sorted(paths):
         snap = iceberg_snapshot(p)
         if snap is not None:
-            entries.append(("iceberg", p, snap["snapshot_id"], snap["sequence_number"]))
+            # schema_id/spec_id included so metadata-only commits (schema
+            # evolution, partition-spec change) invalidate too
+            entries.append((
+                "iceberg", p, snap["snapshot_id"], snap["sequence_number"],
+                snap["schema_id"], snap["spec_id"],
+            ))
         else:
             entries.extend(_walk_entries([p]))
     return _fingerprint(entries)
@@ -82,8 +87,10 @@ def input_snapshots_per_bucket(
     paths: list[str], n_buckets: int, spark=None
 ) -> dict[int, str]:
     """Per-bucket snapshot fingerprints (VERDICT r01 #8): when the input is
-    bucket-partitioned (``bucket=N`` dirs — the engine's own output layout,
-    or an Iceberg table partitioned by ``bucket(n, key)``), a one-file touch
+    bucket-partitioned (``bucket=N`` dirs, or an Iceberg table
+    identity-partitioned by an integer ``bucket`` column — both meaning the
+    engine's OWN bucket function; Iceberg's ``bucket(n, key)`` murmur3
+    transform does NOT qualify, see iceberg_meta), a one-file touch
     revalidates exactly the affected bucket instead of everything.
 
     Iceberg inputs (VERDICT r02 #7) take the exact-metadata ladder of
@@ -114,10 +121,19 @@ def input_snapshots_per_bucket(
         if snap is not None:
             pf = iceberg_partition_fingerprints(spark, p, n_buckets)
             if pf is not None:
+                # schema/spec ids fold into EVERY bucket (metadata-only
+                # commits must invalidate) but, unlike the snapshot id,
+                # stay fixed across plain data appends — preserving the
+                # single-bucket revalidation a partition append earns
                 for b in range(n_buckets):
-                    per_bucket[b].append(("iceberg-part", p, pf[b]))
+                    per_bucket[b].append(
+                        ("iceberg-part", p, pf[b], snap["schema_id"], snap["spec_id"])
+                    )
             else:
-                residue.append(("iceberg", p, snap["snapshot_id"], snap["sequence_number"]))
+                residue.append((
+                    "iceberg", p, snap["snapshot_id"], snap["sequence_number"],
+                    snap["schema_id"], snap["spec_id"],
+                ))
             continue
         for fp, size, mtime in _walk_entries([p]):
             m = _BUCKET_DIR.search(fp)

@@ -33,35 +33,78 @@ from pyspark.sql import types as T
 log = logging.getLogger(__name__)
 
 
-def _poll_bucket_census(acc_buckets, acc_rows, max_bucket_size: int, what: str) -> None:
+def _census_message(what: str, n_buckets: int, cap: int, n_rows: int) -> str:
+    return (
+        f"{what}: dropped {n_buckets} oversized LSH buckets (> {cap} rows) covering "
+        f"{n_rows} bucket-rows from candidate generation — pairs confined to those "
+        "buckets are not reported (counts may include task retries)"
+    )
+
+
+def _poll_bucket_census(acc_buckets, acc_rows, cap: int, what: str, state: dict) -> None:
     """Daemon-thread target: polls the census accumulators and logs once the
     drop count is nonzero and stable. Accumulators (not ``observe``) on
     purpose: AQE's empty-relation propagation excises CollectMetrics nodes
     from the final plan whenever anything downstream goes empty — an empty
     candidate set is common — silently losing the metrics (observed on
     Spark 4.1); accumulator updates from completed stages survive any
-    re-plan. Never blocks the caller; exits quietly if the plan is never
-    executed or nothing is dropped."""
+    re-plan. Never blocks the caller; the atexit flush covers drivers that
+    exit before the counts stabilize, and the loop is bounded (~2 h) so a
+    never-executed plan does not leak a polling thread forever."""
     import time
 
     last = 0
-    # 1 s cadence for the first minute (interactive case), then 10 s; a
-    # never-executed plan's thread idles cheaply until process exit (daemon)
-    for tick in range(100000):
-        time.sleep(1.0 if tick < 60 else 10.0)
+    for tick in range(780):  # 60 x 0.5s + 720 x 10s ≈ 2 h, mostly sleeping
+        time.sleep(0.5 if tick < 60 else 10.0)
+        if state["logged"]:
+            return
         try:
             cur = int(acc_buckets.value)
         except Exception:  # context torn down
             return
         if cur and cur == last:
-            log.warning(
-                "%s: dropped %d oversized LSH buckets (> %d rows) covering %d bucket-rows "
-                "from candidate generation — pairs confined to those buckets are not "
-                "reported (counts may include task retries)",
-                what, cur, max_bucket_size, int(acc_rows.value),
-            )
+            state["logged"] = True
+            log.warning(_census_message(what, cur, cap, int(acc_rows.value)))
             return
         last = cur
+
+
+# censuses armed this process, flushed at interpreter exit: a short-lived
+# driver (spark-submit batch) may finish its action and exit before the poll
+# thread's stability window elapses — "never silent" must survive that
+_CENSUS_PENDING: list = []
+_CENSUS_ATEXIT_ARMED = False
+
+
+def _flush_census_at_exit() -> None:
+    for acc_b, acc_r, cap, what, state in _CENSUS_PENDING:
+        if state["logged"]:
+            continue
+        try:
+            cur = int(acc_b.value)
+            rows = int(acc_r.value)
+        except Exception:  # SparkContext already stopped
+            continue
+        if cur:
+            state["logged"] = True
+            log.warning(_census_message(what, cur, cap, rows))
+
+
+def _arm_census(acc_buckets, acc_rows, cap: int, what: str) -> None:
+    global _CENSUS_ATEXIT_ARMED
+    import atexit
+    import threading
+
+    state = {"logged": False}
+    _CENSUS_PENDING.append((acc_buckets, acc_rows, cap, what, state))
+    if not _CENSUS_ATEXIT_ARMED:
+        atexit.register(_flush_census_at_exit)
+        _CENSUS_ATEXIT_ARMED = True
+    threading.Thread(
+        target=_poll_bucket_census,
+        args=(acc_buckets, acc_rows, cap, what, state),
+        daemon=True,
+    ).start()
 
 
 def lsh_candidate_pairs(
@@ -78,13 +121,17 @@ def lsh_candidate_pairs(
     pair co-occurred in (winnowing-style overlap counting) — instead of
     being distinct-ed.
 
-    Pair generation is a per-bucket ``collect_list`` + pairwise array
-    expansion instead of a bucket self-join: ONE shuffle on the bucket key
-    (a self-join shuffles and sorts the stream for both sides), and the
-    in-bucket pair fan-out happens inside codegen. Safe precisely because
-    ``max_bucket_size`` bounds every collected list; WITHOUT a cap a
-    degenerate bucket materializes in one aggregation buffer — always set
-    the cap at scale.
+    Two physical strategies, chosen by whether a cap bounds the buckets:
+
+    - ``max_bucket_size`` set → per-bucket ``collect_list`` + pairwise array
+      expansion: ONE shuffle on the bucket key (a self-join shuffles and
+      sorts the stream for both sides), in-bucket fan-out inside codegen.
+      Safe precisely because the cap bounds every collected list.
+    - ``max_bucket_size=None`` → classic bucket self-join: slower (second
+      shuffle + sort) but SPILL-SAFE — a degenerate bucket degrades to a
+      quadratic-but-streaming join instead of materializing O(s²) pairs in
+      one aggregation buffer. Uncapped is the small-scale/oracle mode;
+      always set the cap at scale.
 
     Buckets above ``max_bucket_size`` are EXCLUDED from candidate
     generation, with a logged bucket/row census (never silent). The census
@@ -104,38 +151,43 @@ def lsh_candidate_pairs(
     stream = buckets.select(
         *bucket_cols, F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
     )
-    if max_bucket_size is not None:
-        import threading
-
-        sc = buckets.sparkSession.sparkContext
-        acc_buckets = sc.accumulator(0)
-        acc_rows = sc.accumulator(0)
-        cap = int(max_bucket_size)
-
-        @F.pandas_udf(T.BooleanType())
-        def keep_bucket(bsz: pd.Series) -> pd.Series:
-            over = bsz > cap
-            n = int(over.sum())
-            if n:
-                acc_buckets.add(n)
-                acc_rows.add(int(bsz[over].sum()))
-            return ~over
-
-        kept_sizes = (
-            buckets.groupBy(*bucket_cols)
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .where(keep_bucket(F.col("__bsz")))
-            .drop("__bsz")
+    if max_bucket_size is None:
+        # spill-safe uncapped path: bucket self-join
+        l, r = stream.alias("l"), stream.alias("r")
+        base = (
+            l.join(r, on=bucket_cols, how="inner")
+            .where(F.col("l.__p.id") < F.col("r.__p.id"))
+            .select(F.col("l.__p").alias("a"), F.col("r.__p").alias("b"))
         )
-        # inner join against the kept bucket keys replaces a post-join size
-        # filter; it keys on the same columns as the downstream groupBy, so
-        # the exchange is reusable
-        stream = stream.join(kept_sizes, on=bucket_cols)
-        threading.Thread(
-            target=_poll_bucket_census,
-            args=(acc_buckets, acc_rows, cap, what),
-            daemon=True,
-        ).start()
+        if counts:
+            return base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+        return base.distinct()
+
+    sc = buckets.sparkSession.sparkContext
+    acc_buckets = sc.accumulator(0)
+    acc_rows = sc.accumulator(0)
+    cap = int(max_bucket_size)
+
+    @F.pandas_udf(T.BooleanType())
+    def keep_bucket(bsz: pd.Series) -> pd.Series:
+        over = bsz > cap
+        n = int(over.sum())
+        if n:
+            acc_buckets.add(n)
+            acc_rows.add(int(bsz[over].sum()))
+        return ~over
+
+    kept_sizes = (
+        buckets.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .where(keep_bucket(F.col("__bsz")))
+        .drop("__bsz")
+    )
+    # inner join against the kept bucket keys replaces a post-join size
+    # filter; it keys on the same columns as the downstream groupBy, so
+    # the exchange is reusable
+    stream = stream.join(kept_sizes, on=bucket_cols)
+    _arm_census(acc_buckets, acc_rows, cap, what)
     grouped = stream.groupBy(*bucket_cols).agg(F.collect_list("__p").alias("__ms"))
     arr = F.col("__ms")
 

@@ -67,7 +67,8 @@ def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_near_dups(spark, sf_dir)
     return minhash_near_duplicates(
-        corpus, "text", "doc_id", threshold=0.6, num_hashes=63, n_bands=21
+        corpus, "text", "doc_id", threshold=0.6, num_hashes=63, n_bands=21,
+        max_bucket_size=10_000,  # far above any bucket here: fast bounded path, oracle-exact
     )
 
 
@@ -109,7 +110,9 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anzlic_validator_spark.operators.text import winnow_near_duplicates
 
     corpus = _corpus_with_near_dups(spark, sf_dir)
-    return winnow_near_duplicates(corpus, "text", "doc_id", k=3, w=4, min_shared=2)
+    return winnow_near_duplicates(
+        corpus, "text", "doc_id", k=3, w=4, min_shared=2, max_bucket_size=10_000
+    )
 
 
 SQL_DEDUP_WINNOW = """
@@ -147,7 +150,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_tables=4 > max_hamming=3) makes the LSH output EXACTLY the set of
     Hamming<=3 pairs — which the oracle computes by brute force."""
     corpus = _corpus_with_near_dups(spark, sf_dir)
-    return simhash_near_duplicates(corpus, "text", "doc_id", max_hamming=3, n_tables=4)
+    return simhash_near_duplicates(
+        corpus, "text", "doc_id", max_hamming=3, n_tables=4, max_bucket_size=10_000
+    )
 
 
 SQL_DEDUP_SIMHASH = """
@@ -272,7 +277,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(copies)
-    return embedding_near_duplicates(corpus, dim=64, threshold=0.99, bits=8, n_tables=8)
+    return embedding_near_duplicates(
+        corpus, dim=64, threshold=0.99, bits=8, n_tables=8, max_bucket_size=10_000
+    )
 
 
 SQL_DEDUP_EMBEDDING = """

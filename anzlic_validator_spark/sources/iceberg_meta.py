@@ -22,8 +22,11 @@ Reference analog: the fetch-history pickle that makes resume exact
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
+
+log = logging.getLogger(__name__)
 
 _META_FILE = re.compile(r"^(?:v(\d+))?.*\.metadata\.json$")
 
@@ -67,9 +70,13 @@ def latest_metadata_file(path: str) -> str | None:
 
 
 def iceberg_snapshot(path: str) -> dict | None:
-    """{"snapshot_id", "sequence_number", "metadata_file"} for an Iceberg
-    table dir, None if ``path`` is not one (or metadata is unreadable —
-    callers then fall back to file-stat fingerprints)."""
+    """{"snapshot_id", "sequence_number", "schema_id", "spec_id",
+    "metadata_file"} for an Iceberg table dir, None if ``path`` is not one
+    (or metadata is unreadable — callers then fall back to file-stat
+    fingerprints). schema_id/spec_id are part of the change signal so a
+    METADATA-ONLY commit (column rename/type change, new partition spec)
+    still invalidates — snapshot id alone would miss it — while plain data
+    appends leave them untouched (preserving per-partition granularity)."""
     mf = latest_metadata_file(path)
     if mf is None:
         return None
@@ -84,6 +91,8 @@ def iceberg_snapshot(path: str) -> dict | None:
     return {
         "snapshot_id": int(snap_id),
         "sequence_number": int(doc.get("last-sequence-number", 0)),
+        "schema_id": int(doc.get("current-schema-id", 0)),
+        "spec_id": int(doc.get("default-spec-id", 0)),
         "metadata_file": os.path.basename(mf),
     }
 
@@ -101,18 +110,29 @@ def _iceberg_runtime(spark) -> bool:
 def iceberg_partition_fingerprints(spark, path: str, n_buckets: int) -> dict[int, str] | None:
     """Per-bucket fingerprints from the Iceberg ``#files`` metadata table —
     requires the runtime (the manifest Avro layer is not JSON). Returns None
-    when the runtime is absent or the table is not partitioned by an
-    integer ``bucket`` column matching the manifest's bucket contract
-    (manifest.input_snapshots_per_bucket docstring); callers then degrade to
-    the table-level snapshot id.
+    when the runtime is absent or the table does not qualify; callers then
+    degrade to the table-level snapshot id.
 
-    With this, appending data files to ONE partition changes exactly that
-    bucket's fingerprint: the restarted run revalidates one bucket.
+    QUALIFYING TABLES: identity-partitioned by an integer column literally
+    named ``bucket`` whose values come from the SAME key/bucket function the
+    manifest uses (the engine's own layout — see
+    manifest.input_snapshots_per_bucket's contract). Iceberg's
+    ``bucket(n, key)`` TRANSFORM does NOT qualify and is deliberately not
+    matched: its murmur3 partition numbers have no relation to the
+    manifest's xxhash64 buckets, so mapping them 1:1 would revalidate the
+    WRONG bucket and silently skip the rows an append actually touched.
+
+    With a qualifying table, appending data files to ONE partition changes
+    exactly that bucket's fingerprint: the restarted run revalidates one
+    bucket. Fingerprints aggregate EXECUTOR-side (order-insensitive
+    xxhash64 sum + count per partition, ≤ one output row per partition) —
+    nothing file-per-row is ever collected to the driver, so the path holds
+    at millions of data files.
     """
-    import hashlib
-
     if spark is None or not _iceberg_runtime(spark):
         return None
+    from pyspark.sql import functions as F
+
     try:
         files = spark.read.format("iceberg").load(f"{path}#files")
         cols = {f.name for f in files.schema.fields}
@@ -123,24 +143,31 @@ def iceberg_partition_fingerprints(spark, path: str, n_buckets: int) -> dict[int
             return None
         rows = (
             files.selectExpr(
-                "partition.bucket AS bucket", "file_path", "file_size_in_bytes", "record_count"
+                "partition.bucket AS bucket",
+                "xxhash64(file_path, file_size_in_bytes, record_count) AS h",
             )
+            .groupBy("bucket")
+            .agg(F.sum("h").alias("hsum"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-    except Exception:
+    except Exception as exc:
+        # degradation must be diagnosable, not silent: the run still works,
+        # at all-bucket granularity
+        log.warning(
+            "iceberg #files read failed for %s (%s: %s) — falling back to "
+            "table-level snapshot fingerprints", path, type(exc).__name__, exc
+        )
         return None
-    per: dict[int, list] = {b: [] for b in range(n_buckets)}
+    per: dict[int, tuple] = {}
     residue: list = []
     for r in rows:
         b = r.bucket
-        ent = (r.file_path, int(r.file_size_in_bytes), int(r.record_count))
+        ent = (int(r.hsum), int(r.n))
         if b is not None and 0 <= int(b) < n_buckets:
-            per[int(b)].append(ent)
+            per[int(b)] = ent
         else:
-            residue.append(ent)
-    residue.sort()
-    out = {}
-    for b in range(n_buckets):
-        per[b].sort()
-        out[b] = hashlib.sha256(json.dumps([per[b], residue]).encode()).hexdigest()[:16]
-    return out
+            residue.append((None if b is None else int(b), *ent))
+    residue.sort(key=str)
+    return {
+        b: json.dumps([per.get(b, (0, 0)), residue]) for b in range(n_buckets)
+    }

@@ -194,3 +194,28 @@ def test_codec_registry_end_to_end(spark):
         assert not any(k == "clip-000000000007" for k, _ in viol)
     finally:
         A._CODEC_REGISTRY.pop("fake1", None)
+
+
+def test_codec_registry_overrides_builtin():
+    """register_codec('flac', ...) must actually take precedence over the
+    built-in numpy codec (the documented 'or override' contract)."""
+    import numpy as np
+
+    from anzlic_validator_spark.functions import audio as A
+
+    def enc(pcm, sr):
+        return b"OVR" + A._to_s16(pcm).tobytes()
+
+    def dec(b):
+        assert b[:3] == b"OVR"
+        return np.frombuffer(b[3:], dtype="<i2").astype(np.float32) / 32767.0, 12345
+
+    A.register_codec("flac", enc, dec)
+    try:
+        sig = np.zeros(100, dtype=np.float32)
+        b = A.encode(sig, 8000, "flac")
+        assert b[:3] == b"OVR"
+        pcm, sr, err = A.decode(b, "flac")
+        assert err is None and sr == 12345 and pcm.size == 100
+    finally:
+        A._CODEC_REGISTRY.pop("flac", None)

@@ -257,7 +257,8 @@ def test_iceberg_snapshot_metadata_layer(tmp_path):
     (t / "data" / "f1.parquet").write_bytes(b"AAAA")
     _mk_iceberg_meta(t, 2, 1111, 5)
     snap = iceberg_snapshot(str(t))
-    assert snap == {"snapshot_id": 1111, "sequence_number": 5, "metadata_file": "v2.metadata.json"}
+    assert snap == {"snapshot_id": 1111, "sequence_number": 5, "schema_id": 0,
+                    "spec_id": 0, "metadata_file": "v2.metadata.json"}
     # not an iceberg dir -> None (file-stat fallback)
     assert iceberg_snapshot(str(tmp_path)) is None
 
@@ -306,3 +307,26 @@ def test_iceberg_partition_append_revalidates_one_bucket(spark, tmp_path):
     f2 = iceberg_partition_fingerprints(spark, t, 4)
     changed = [b for b in range(4) if f1[b] != f2[b]]
     assert changed == [2]
+
+
+def test_iceberg_metadata_only_commit_invalidates(tmp_path):
+    """Review r03: a schema-evolution commit (new metadata file, SAME
+    snapshot id) must still invalidate — snapshot id alone would miss it."""
+    from anzlic_validator_spark.manifest import input_snapshot
+
+    t = tmp_path / "tbl"
+    meta = t / "metadata"
+    meta.mkdir(parents=True)
+
+    def write_meta(version, snap_id, seq, schema_id):
+        (meta / f"v{version}.metadata.json").write_text(json.dumps({
+            "format-version": 2, "current-snapshot-id": snap_id,
+            "last-sequence-number": seq, "current-schema-id": schema_id,
+            "default-spec-id": 0, "snapshots": [],
+        }))
+        (meta / "version-hint.text").write_text(str(version))
+
+    write_meta(1, 500, 3, 0)
+    f1 = input_snapshot([str(t)])
+    write_meta(2, 500, 3, 1)  # column rename: same snapshot, new schema id
+    assert input_snapshot([str(t)]) != f1
