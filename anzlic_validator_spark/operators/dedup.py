@@ -276,9 +276,15 @@ def exact_duplicates(
 
 # ---------------------------------------------------------------- shingles
 
-def word_shingles(text_col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a single-space-tokenized text column."""
-    toks = F.split(text_col, " ")
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a PRE-SPLIT token array column.
+
+    ``toks`` must be a materialized column (its own projection), not an
+    inline ``split(...)`` expression: the per-shingle lambda references it
+    once per element, and Catalyst inlines non-column subexpressions into
+    every lambda element (no CSE across lambda bodies) — an inline split
+    makes shingling O(tokens²) per row, measured ~25x slower at 54 tokens.
+    """
     n = F.size(toks)
     return F.when(n >= k, F.array_distinct(
         F.transform(
@@ -286,6 +292,14 @@ def word_shingles(text_col: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         )
     )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def word_shingles(text_col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a single-space-tokenized text column.
+
+    Convenience wrapper; prefer ``word_shingles_from_tokens`` over a
+    materialized token column in hot paths (see its docstring)."""
+    return word_shingles_from_tokens(F.split(text_col, " "), k)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -340,9 +354,8 @@ def minhash_near_duplicates(
     """
     rows_per_band = num_hashes // n_bands
     base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    )
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    ).select("id", word_shingles_from_tokens(F.col("__toks"), shingle_k).alias("sh"))
     sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
     band_structs = [
         F.struct(
@@ -375,8 +388,8 @@ def exact_jaccard_pairs(
     """Brute-force O(n²) exact-Jaccard pairs — the small-scale oracle for
     the LSH path; never run this at production scale."""
     base = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    ).select("id", word_shingles_from_tokens(F.col("__toks"), shingle_k).alias("sh"))
     a = base.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
     return (

@@ -65,8 +65,9 @@ def predict_language(col: Column, threshold: float = 0.05) -> Column:
     return best_lang
 
 
-def kgram_hashes(col: Column, k: int = 3) -> Column:
-    """Positional k-word-gram hashes (duplicates kept, document order).
+def kgram_hashes(toks: Column, k: int = 3) -> Column:
+    """Positional k-word-gram hashes (duplicates kept, document order) from
+    a PRE-SPLIT token array column.
 
     Hash = first 16 hex chars of md5(gram) — the vectorized stand-in for a
     rolling Rabin-Karp hash: Catalyst computes every gram hash in one
@@ -74,8 +75,11 @@ def kgram_hashes(col: Column, k: int = 3) -> Column:
     buys nothing in a columnar engine, while md5 keeps the values exactly
     reproducible in the DuckDB oracle. Documents shorter than k tokens get
     the single whole-document hash.
+
+    ``toks`` must be a materialized column, not an inline split — the gram
+    lambda references it per element and Catalyst inlines non-column
+    subexpressions into every lambda element (see word_shingles_from_tokens).
     """
-    toks = tokens(col)
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -98,14 +102,23 @@ def winnow_fingerprints(
     of gram hashes are kept. Pure Catalyst — sequence/slice/array_min in
     one codegen projection, zero shuffle before the explode.
     """
-    hs = kgram_hashes(F.col(text_col), k)
+    # SEPARATE projections on purpose: building this as one nested
+    # expression inlines the whole k-gram-hash computation into EVERY
+    # window element's lambda (no common-subexpression elimination across
+    # lambda bodies) — measured ~25x slower. As a distinct aliased column,
+    # CollapseProject keeps the non-cheap, multiply-referenced array
+    # materialized once per row.
+    hs_df = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__toks")
+    ).select("doc_id", kgram_hashes(F.col("__toks"), k).alias("__hs"))
+    hs = F.col("__hs")
     m = F.size(hs)
     wins = F.when(
         m >= w,
         F.transform(F.sequence(F.lit(1), m - (w - 1)), lambda i: F.array_min(F.slice(hs, i, w))),
     ).otherwise(F.array(F.array_min(hs)))
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(wins)).alias("fp")
+    return hs_df.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
     )
 
 
