@@ -59,7 +59,7 @@ def _poll_bucket_census(acc_buckets, acc_rows, cap: int, what: str, state: dict)
         if state["logged"]:
             return
         try:
-            cur = int(acc_buckets.value)
+            cur = int(round(float(acc_buckets.value)))  # Σ 1/size, float acc
         except Exception:  # context torn down
             return
         if cur and cur == last:
@@ -81,7 +81,7 @@ def _flush_census_at_exit() -> None:
         if state["logged"]:
             continue
         try:
-            cur = int(acc_b.value)
+            cur = int(round(float(acc_b.value)))
             rows = int(acc_r.value)
         except Exception:  # SparkContext already stopped
             continue
@@ -163,32 +163,44 @@ def lsh_candidate_pairs(
             return base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
         return base.distinct()
 
+    from pyspark.sql import Window
+
     sc = buckets.sparkSession.sparkContext
-    acc_buckets = sc.accumulator(0)
+    acc_buckets = sc.accumulator(0.0)
     acc_rows = sc.accumulator(0)
     cap = int(max_bucket_size)
 
     @F.pandas_udf(T.BooleanType())
-    def keep_bucket(bsz: pd.Series) -> pd.Series:
-        over = bsz > cap
-        n = int(over.sum())
-        if n:
-            acc_buckets.add(n)
-            acc_rows.add(int(bsz[over].sum()))
-        return ~over
+    def tally_dropped(bsz: pd.Series) -> pd.Series:
+        # per-ROW tally over dropped rows only; each oversized bucket
+        # contributes size * (1/size) = 1 to the bucket count exactly
+        if len(bsz):
+            acc_buckets.add(float((1.0 / bsz).sum()))
+            acc_rows.add(len(bsz))
+        return pd.Series(np.zeros(len(bsz), dtype=bool))
 
-    kept_sizes = (
-        buckets.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("__bsz"))
-        .where(keep_bucket(F.col("__bsz")))
-        .drop("__bsz")
+    # bucket sizes via a window over the SAME hash partitioning the
+    # downstream groupBy needs: ONE shuffle and ONE evaluation of the
+    # bucket projection (a separate groupBy-sizes + join-back branch
+    # recomputed the whole upstream — signatures included — a second time).
+    # The census rides a union branch that reads the reused window exchange
+    # and only ever feeds the (rare) DROPPED rows through Python; it
+    # returns all-False so it contributes zero rows while forcing the
+    # tally to execute inside the same job.
+    sized = stream.withColumn(
+        "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
     )
-    # inner join against the kept bucket keys replaces a post-join size
-    # filter; it keys on the same columns as the downstream groupBy, so
-    # the exchange is reusable
-    stream = stream.join(kept_sizes, on=bucket_cols)
+    kept = sized.where(F.col("__bsz") <= cap).drop("__bsz")
+    grouped = kept.groupBy(*bucket_cols).agg(F.collect_list("__p").alias("__ms"))
+    census = (
+        sized.where(F.col("__bsz") > cap)
+        .where(tally_dropped(F.col("__bsz")))
+        .drop("__bsz")
+        .groupBy(*bucket_cols)
+        .agg(F.collect_list("__p").alias("__ms"))
+    )
+    grouped = grouped.unionByName(census)
     _arm_census(acc_buckets, acc_rows, cap, what)
-    grouped = stream.groupBy(*bucket_cols).agg(F.collect_list("__p").alias("__ms"))
     arr = F.col("__ms")
 
     def ordered_pair(x, y):
@@ -339,13 +351,22 @@ def minhash_near_duplicates(
     n_bands: int = 21,
     shingle_k: int = 3,
     max_bucket_size: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
     Returns (a_id, b_id, jac) with a_id < b_id and jac >= threshold.
-    Pipeline: shingle → signature (no shuffle) → band-bucket self-join
+    Pipeline: shingle → signature (no shuffle) → band-bucket grouping
     (the one shuffle; bucket key is (band, hash-of-band-slice)) → exact
     verify on candidates only.
+
+    ``persist_shingles``: the (id, shingles) projection is consumed three
+    times (bucketing + both sides of the candidate verify join). Carrying
+    shingles through the LSH shuffle instead would move ~n_bands× the
+    corpus text through the exchange — strictly worse at scale — so the
+    right plan is ONE computation persisted (MEMORY_AND_DISK, spills
+    gracefully; Spark evicts LRU). Disable for fire-and-forget plans where
+    recompute is preferable to pinning executor storage.
 
     Band tuning: with b bands of r rows, P(candidate) = 1-(1-j^r)^b.
     Defaults (b=21, r=3) give recall ≥ 0.9998 at j=0.7 and ≥ 0.99 at the
@@ -356,6 +377,10 @@ def minhash_near_duplicates(
     base = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
     ).select("id", word_shingles_from_tokens(F.col("__toks"), shingle_k).alias("sh"))
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
     band_structs = [
         F.struct(

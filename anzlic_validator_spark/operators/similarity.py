@@ -130,6 +130,7 @@ def embedding_near_duplicates(
     n_tables: int = 8,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    persist_vectors: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs → (a_id, b_id, cos), a_id < b_id.
 
@@ -150,6 +151,13 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).withColumn("__vn", l2_norm(F.col("__v")))
+    if persist_vectors:
+        # consumed three times (bucketing + both verify-join sides); one
+        # computation persisted beats re-running the SRP pandas UDF and
+        # norm folds (see minhash_near_duplicates.persist_shingles)
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     bucketed = base.select(
         "id", F.posexplode(buckets_udf(F.col("__v"))).alias("tbl", "bkt")
     )
