@@ -281,6 +281,66 @@ def validate_stream(
     return writer.start()
 
 
+def stateful_unique_stream(
+    stream: DataFrame, rule: Rule, key_col: str = "clip_id"
+) -> DataFrame:
+    """TRUE streaming cross-batch uniqueness: per-tuple-key counts live in
+    Structured Streaming's checkpointed state store (RocksDB/HDFS-backed on
+    a cluster) via ``applyInPandasWithState`` — the state-store alternative
+    to ``validate_stream``'s seen-keys log. The log re-reads up to
+    ~seen_log_max_partitions partitions every micro-batch; the state store
+    touches only the keys PRESENT in the batch and checkpoints
+    incrementally, which is the scale-safe shape for unbounded streams.
+
+    Returns a STREAMING violation DataFrame (append mode): the first
+    occurrence of a tuple passes; every later occurrence — same batch or
+    any later one — emits (key, rule_id, observed=n_prior=<count>,
+    expected, rule_order). Tuples containing NULLs are skipped, matching
+    the batch path. Compose with ``.writeStream`` and a checkpoint; a
+    restart resumes the counts exactly.
+
+    Reference analog: the fetch-history pickle consulted per record
+    (resolve.py:150-187), as per-key state instead of a scanned log.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rid = f"{rule.rule_id}.incorrect"
+    order = int(rule.order)
+    cols = ",".join(str(c) for c in rule.get("columns"))
+    expected = f"unique ({cols})"
+    out_cols = ["key", "rule_id", "observed", "expected", "rule_order"]
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"), _unique_key_expr(rule).alias("k")
+    ).where(F.col("k").isNotNull())
+
+    def track(tuple_key, pdfs, state: GroupState):
+        n_prior = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            for key in pdf["key"]:
+                if n_prior > 0:
+                    rows.append((key, rid, f"n_prior={n_prior}", expected, order))
+                n_prior += 1
+        state.update((n_prior,))
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return keyed.groupBy("k").applyInPandasWithState(
+        track,
+        outputStructType=_SEEN_OUT_SCHEMA,
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SEEN_OUT_SCHEMA = (
+    "key string, rule_id string, observed string, expected string, rule_order int"
+)
+
+
 def violation_rate_stream(
     events: DataFrame,
     ts_col: str,

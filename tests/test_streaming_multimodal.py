@@ -222,3 +222,42 @@ def test_streaming_seen_log_compaction(spark, tmp_path):
     v = spark.read.parquet(f"{out}/violations")
     rows = {(r.key, r.observed) for r in v.collect()}
     assert ("dup-0", "seen_in_epoch=0") in rows
+
+
+def test_stateful_unique_stream(spark, tmp_path):
+    """State-store cross-batch uniqueness (applyInPandasWithState): first
+    occurrence passes, later occurrences violate with their prior count;
+    state survives a stream restart via the checkpoint."""
+    from anzlic_validator_spark.rules import Rule
+    from anzlic_validator_spark.schema import CLIPS_SCHEMA
+    from anzlic_validator_spark.streaming.incremental import stateful_unique_stream
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    rule = Rule("clip_id.unique", "unique", 1, {"columns": ["clip_id"]})
+
+    def run_once():
+        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(inp)
+        q = (
+            stateful_unique_stream(stream, rule, "clip_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 0: A, B, and an IN-batch duplicate pair C,C
+    _clip_rows(spark, ["A", "B", "C", "C"]).write.parquet(inp)
+    run_once()
+    v1 = {(r.key, r.observed) for r in spark.read.parquet(out).collect()}
+    assert v1 == {("C", "n_prior=1")}
+
+    # batch 1 (restarted stream, state from checkpoint): cross-batch dup of
+    # A, a third C, and a fresh key D
+    _clip_rows(spark, ["A", "C", "D"]).write.mode("append").parquet(inp)
+    run_once()
+    v2 = {(r.key, r.observed) for r in spark.read.parquet(out).collect()}
+    assert v2 == {("C", "n_prior=1"), ("A", "n_prior=1"), ("C", "n_prior=2")}
+    assert all(r.rule_id == "clip_id.unique.incorrect"
+               for r in spark.read.parquet(out).collect())
