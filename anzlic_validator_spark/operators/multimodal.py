@@ -1,17 +1,20 @@
-"""Multimodal binary-column plumbing: decode / feature-extract / resize /
+"""Multimodal binary-column operators: decode / feature-extract / resize /
 frame-sample over opaque ``binary`` payloads with typed metadata.
 
-The audio path (functions/audio.py) is fully real; image/video decode needs
-libraries this container doesn't ship (Pillow / ffmpeg), so those kernels
-are STUBS — either a clearly-marked NotImplementedError or a deterministic
-fake — while the Spark-side plumbing (schemas, ``mapInPandas`` batch shape,
-partition sizing) is real and tested. Swap `_decode_image_kernel` /
-`_sample_frames_kernel` for real decoders in a full container.
+Like the audio path (functions/audio.py + the pure-numpy FLAC codec), the
+UNCOMPRESSED public image formats are fully real — PPM/PGM/BMP decode,
+nearest-neighbor resize, Rec.601 luma (functions/image.py) — and video
+frame sampling is real for concatenated-PNM streams (each frame
+self-describing). Only the compressed codecs this container cannot ship
+(PNG/JPEG via libjpeg, real containers via ffmpeg) remain honestly
+environment-stubbed: ``register_image_decoder`` is the extension point a
+full container uses, mirroring functions/audio.register_codec.
 
 Scale notes: binary payloads ride Arrow record batches; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a batch of payloads fits the
 worker (64-128 MB is right for ~50 KB-5 MB objects). Never explode binary
-columns through a shuffle — extract features first, shuffle the features.
+columns through a shuffle — extract features first, shuffle the features
+(tests/test_engine.py pins the never-shuffle-binary invariant for audio).
 """
 
 from __future__ import annotations
@@ -22,45 +25,81 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from anzlic_validator_spark.functions.image import (
+    decode_image,
+    encode_ppm,
+    luma,
+    resize_nearest,
+)
+
 IMAGE_META_DDL = (
     "key string, format string, width int, height int, channels int, err string"
 )
 
 IMAGE_FEATURES_DDL = "key string, mean_luma double, byte_entropy double, err string"
 
+DECODED_FEATURES_DDL = (
+    "key string, format string, width int, height int, mean_luma double, err string"
+)
+
+RESIZE_DDL = "key string, width int, height int, payload binary, err string"
+
 FRAME_SAMPLE_DDL = "key string, frame_idx int, frame binary, err string"
 
+# codec extension point: name → decode_fn(bytes) -> (ndarray, format_str);
+# snapshot into kernels at op-construction time so driver-side registration
+# reaches the Python workers (same mechanism as audio.make_decode_check_udf)
+_IMAGE_DECODERS: dict[str, object] = {}
 
-def _decode_image_kernel(payload: bytes) -> tuple[int, int, int]:
-    """STUB — real image decode (PNG/JPEG) needs Pillow, absent here.
 
-    Deterministic fake: parses our own 12-byte fake header
-    (b'IMGX' + w:int32 + h:int32, channels fixed 3) so tests exercise the
-    full plumbing; anything else raises as a real decoder would.
-    """
+def register_image_decoder(name: str, decode_fn) -> None:
+    """Add a decoder for payloads whose sniffing decode_image rejects
+    (e.g. PNG/JPEG in a container with Pillow). ``decode_fn(bytes)`` →
+    (HxW[xC] uint8 ndarray, format string); raise on corruption."""
+    _IMAGE_DECODERS[str(name)] = decode_fn
+
+
+def _decode_image_kernel(payload: bytes, extra_decoders: dict) -> tuple[np.ndarray, str]:
+    """Real decode for PPM/PGM/BMP (functions/image.py), plus the legacy
+    12-byte IMGX test header (returns a synthetic array of the declared
+    shape), plus any registered decoders; PNG/JPEG raise the documented
+    environment NotImplementedError from decode_image."""
     if payload[:4] == b"IMGX" and len(payload) >= 12:
         w = int.from_bytes(payload[4:8], "little")
         h = int.from_bytes(payload[8:12], "little")
-        return w, h, 3
-    raise NotImplementedError(
-        "real image decoders (Pillow/libjpeg) are not available in this container"
-    )
+        return np.zeros((h, w, 3), dtype=np.uint8), "imgx"
+    try:
+        return decode_image(payload)
+    except NotImplementedError:
+        for fn in extra_decoders.values():
+            try:
+                return fn(payload)
+            except Exception:  # noqa: BLE001 — try next registered decoder
+                continue
+        raise
 
 
 def image_metadata(df: DataFrame, key_col: str, bytes_col: str, fmt_col: str) -> DataFrame:
-    """Decode image headers → (key, format, width, height, channels, err).
+    """Decode image headers → (key, format, width, height, channels, err);
+    format is the SNIFFED format (ppm/pgm/bmp/imgx/...), not the claimed
+    column — disagreement is itself a useful validation signal.
 
     mapInPandas: one Arrow batch in, one metadata batch out — the binary
     column never leaves the scan partition.
     """
+    decoders = dict(_IMAGE_DECODERS)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for k, b, f in zip(pdf[key_col], pdf[bytes_col], pdf[fmt_col]):
                 try:
-                    w, h, c = _decode_image_kernel(bytes(b) if b is not None else b"")
-                    rows.append({"key": str(k), "format": f, "width": w, "height": h,
+                    arr, fmt = _decode_image_kernel(
+                        bytes(b) if b is not None else b"", decoders
+                    )
+                    c = 1 if arr.ndim == 2 else int(arr.shape[2])
+                    rows.append({"key": str(k), "format": fmt,
+                                 "width": int(arr.shape[1]), "height": int(arr.shape[0]),
                                  "channels": c, "err": None})
                 except Exception as exc:  # noqa: BLE001 — per-row error isolation
                     rows.append({"key": str(k), "format": f, "width": None, "height": None,
@@ -69,6 +108,62 @@ def image_metadata(df: DataFrame, key_col: str, bytes_col: str, fmt_col: str) ->
                                               "channels", "err"])
 
     return df.select(key_col, bytes_col, fmt_col).mapInPandas(op, IMAGE_META_DDL)
+
+
+def decoded_image_features(df: DataFrame, key_col: str, bytes_col: str) -> DataFrame:
+    """Pixel-domain features from REAL decode → (key, format, width, height,
+    mean_luma, err); mean_luma is Rec.601 over decoded pixels (not the byte
+    proxy binary_features computes)."""
+    decoders = dict(_IMAGE_DECODERS)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, b in zip(pdf[key_col], pdf[bytes_col]):
+                try:
+                    arr, fmt = _decode_image_kernel(
+                        bytes(b) if b is not None else b"", decoders
+                    )
+                    rows.append({"key": str(k), "format": fmt,
+                                 "width": int(arr.shape[1]), "height": int(arr.shape[0]),
+                                 "mean_luma": float(luma(arr).mean()), "err": None})
+                except Exception as exc:  # noqa: BLE001
+                    rows.append({"key": str(k), "format": None, "width": None,
+                                 "height": None, "mean_luma": None, "err": str(exc)[:200]})
+            yield pd.DataFrame(rows, columns=["key", "format", "width", "height",
+                                              "mean_luma", "err"])
+
+    return df.select(key_col, bytes_col).mapInPandas(op, DECODED_FEATURES_DDL)
+
+
+def resize_images(
+    df: DataFrame, key_col: str, bytes_col: str, out_w: int, out_h: int
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (PPM; grayscale inputs
+    are stacked to 3 channels) → (key, width, height, payload, err). The
+    decode/transform/encode round-trip happens inside the scan partition —
+    resized payloads, not originals, are what any downstream stage sees."""
+    decoders = dict(_IMAGE_DECODERS)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, b in zip(pdf[key_col], pdf[bytes_col]):
+                try:
+                    arr, _fmt = _decode_image_kernel(
+                        bytes(b) if b is not None else b"", decoders
+                    )
+                    small = resize_nearest(arr, out_w, out_h)
+                    if small.ndim == 2:
+                        small = np.stack([small] * 3, axis=2)
+                    rows.append({"key": str(k), "width": out_w, "height": out_h,
+                                 "payload": encode_ppm(small), "err": None})
+                except Exception as exc:  # noqa: BLE001
+                    rows.append({"key": str(k), "width": None, "height": None,
+                                 "payload": None, "err": str(exc)[:200]})
+            yield pd.DataFrame(rows, columns=["key", "width", "height", "payload", "err"])
+
+    return df.select(key_col, bytes_col).mapInPandas(op, RESIZE_DDL)
 
 
 def binary_features(df: DataFrame, key_col: str, bytes_col: str) -> DataFrame:
@@ -98,14 +193,48 @@ def binary_features(df: DataFrame, key_col: str, bytes_col: str) -> DataFrame:
     return df.select(key_col, bytes_col).mapInPandas(op, IMAGE_FEATURES_DDL)
 
 
-def _sample_frames_kernel(payload: bytes, n_frames: int) -> list[bytes]:
-    """STUB — real video frame sampling needs ffmpeg, absent here.
+def _split_pnm_stream(payload: bytes) -> list[bytes]:
+    """Frame boundaries of a concatenated binary-PNM stream (each frame is
+    self-describing: header declares its own pixel count)."""
+    from anzlic_validator_spark.functions.image import ImageError, _pnm_header
 
-    Deterministic fake: splits the payload into n equal slices (the batch
-    shape, schema and fan-out are exactly what a real ffmpeg kernel returns).
+    frames = []
+    off = 0
+    n = len(payload)
+    while off < n:
+        magic = payload[off : off + 2]
+        if magic not in (b"P5", b"P6"):
+            raise ImageError(f"bad frame magic {bytes(magic)!r} at offset {off}")
+        (w, h, maxval), data_off = _pnm_header(payload, off + 2, 3)
+        if maxval != 255 or w <= 0 or h <= 0:
+            raise ImageError("bad frame header")
+        end = data_off + w * h * (3 if magic == b"P6" else 1)
+        if end > n:
+            raise ImageError("truncated frame")
+        frames.append(payload[off:end])
+        off = end
+    if not frames:
+        raise ImageError("empty stream")
+    return frames
+
+
+def _sample_frames_kernel(payload: bytes, n_frames: int) -> list[bytes]:
+    """REAL for concatenated binary-PNM streams (motion-PNM: the simplest
+    public self-describing frame container): parse every frame boundary,
+    return n_frames evenly spaced frames, each a standalone decodable
+    image. Real containers (mp4/webm) need ffmpeg, absent here — such
+    payloads fall back to deterministic byte slicing so the fan-out
+    plumbing stays exercised (the slices are NOT decodable frames and are
+    labeled by the caller's err column when decoded downstream).
     """
     if not payload:
         raise ValueError("empty payload")
+    if payload[:2] in (b"P5", b"P6"):
+        frames = _split_pnm_stream(payload)
+        n = len(frames)
+        take = min(n_frames, n)
+        idxs = [(i * n) // take for i in range(take)]
+        return [frames[i] for i in idxs]
     step = max(1, len(payload) // n_frames)
     return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
 

@@ -379,3 +379,76 @@ SELECT doc_id,
   ELSE 'unk' END) = lang THEN 1 ELSE 0 END AS INT) AS match
 FROM r
 """
+
+
+# ------------------------------------------------------------ image decode
+
+
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (PPM/PGM/BMP, functions/image.py) over a
+    deterministic synthetic table generated distributed (mapInPandas):
+    dims/format/corruption from row-index arithmetic, so the expected
+    metadata is closed-form SQL — the image analog of the audio census."""
+    from anzlic_validator_spark.operators.multimodal import image_metadata
+
+    n = max(300, int(3000 * _sf_of(sf_dir)))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from anzlic_validator_spark.functions.image import (
+            encode_bmp, encode_pgm, encode_ppm,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 4 + i % 13, 3 + i % 7
+                fmt = ("ppm", "pgm", "bmp")[i % 3]
+                y, x = np.mgrid[0:h, 0:w]
+                g = ((x * 3 + y * 7 + i) % 251).astype(np.uint8)
+                if fmt == "ppm":
+                    b = encode_ppm(np.stack([g] * 3, axis=2))
+                elif fmt == "pgm":
+                    b = encode_pgm(g)
+                else:
+                    b = encode_bmp(np.stack([g] * 3, axis=2))
+                if i % 25 == 24:
+                    b = b[: len(b) // 2]  # truncated payload → decode error
+                rows.append({"key": f"img-{i:08d}", "img": b, "fmt": fmt})
+            yield pd.DataFrame(rows, columns=["key", "img", "fmt"])
+
+    imgs = spark.range(n).mapInPandas(gen, "key string, img binary, fmt string")
+    meta = image_metadata(imgs, "key", "img", "fmt")
+    return meta.select(
+        "key", "format", "width", "height", "channels",
+        F.col("err").isNull().alias("ok"),
+    )
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.001
+
+
+SQL_IMAGE_META = """
+WITH ids AS (SELECT CAST(r.range AS BIGINT) AS j FROM range(300) r),
+e AS (
+  SELECT j,
+    'img-' || lpad(CAST(j AS VARCHAR), 8, '0') AS key,
+    ['ppm','pgm','bmp'][CAST(j % 3 AS INT) + 1] AS fmt,
+    CAST(4 + j % 13 AS INT) AS w, CAST(3 + j % 7 AS INT) AS h,
+    (j % 25 <> 24) AS ok
+  FROM ids
+)
+SELECT key, fmt AS format,
+       CASE WHEN ok THEN w END AS width,
+       CASE WHEN ok THEN h END AS height,
+       CASE WHEN ok THEN CAST(CASE WHEN fmt = 'pgm' THEN 1 ELSE 3 END AS INT) END AS channels,
+       ok
+FROM e
+"""

@@ -261,3 +261,110 @@ def test_stateful_unique_stream(spark, tmp_path):
     assert v2 == {("C", "n_prior=1"), ("A", "n_prior=1"), ("C", "n_prior=2")}
     assert all(r.rule_id == "clip_id.unique.incorrect"
                for r in spark.read.parquet(out).collect())
+
+
+def _checker(w, h, channels=3):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    g = ((x + y) % 2 * 255).astype(np.uint8)
+    return np.stack([g] * channels, axis=2) if channels == 3 else g
+
+
+def test_image_codecs_roundtrip_and_corruption():
+    import numpy as np
+
+    from anzlic_validator_spark.functions.image import (
+        ImageError, decode_bmp, decode_image, decode_pnm,
+        encode_bmp, encode_pgm, encode_ppm, luma, resize_nearest,
+    )
+
+    rgb = _checker(7, 5)  # odd width exercises BMP row padding
+    gray = _checker(6, 4, channels=1)
+    assert np.array_equal(decode_pnm(encode_ppm(rgb)), rgb)
+    assert np.array_equal(decode_pnm(encode_pgm(gray)), gray)
+    assert np.array_equal(decode_bmp(encode_bmp(rgb)), rgb)
+    for b, fmt in [(encode_ppm(rgb), "ppm"), (encode_pgm(gray), "pgm"),
+                   (encode_bmp(rgb), "bmp")]:
+        arr, f = decode_image(b)
+        assert f == fmt and arr.shape[0] == (5 if fmt != "pgm" else 4)
+    # PNM comments in headers are legal
+    arr, _ = decode_image(b"P5\n# a comment\n2 2\n255\n\x00\x01\x02\x03")
+    assert arr.shape == (2, 2)
+    # corruption surfaces as ImageError, never a numpy crash
+    for bad in [b"", b"P6", b"P6\n2 2\n255\n\x00", b"BMxx", b"QQQQ",
+                encode_bmp(rgb)[:40], b"P6\n-3 2\n255\n" + b"\x00" * 18,
+                b"P6\n2 2\n65535\n" + b"\x00" * 12]:
+        with pytest.raises((ImageError, ValueError)):
+            decode_image(bad)
+    # PNG/JPEG magics raise the documented environment error
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    # resize + luma sanity
+    big = resize_nearest(rgb, 14, 10)
+    assert big.shape == (10, 14, 3)
+    assert 100 < float(luma(rgb).mean()) < 160  # ~half the checker is white
+
+
+def test_image_metadata_real_formats(spark):
+    from anzlic_validator_spark.functions.image import encode_bmp, encode_pgm, encode_ppm
+    from anzlic_validator_spark.operators.multimodal import image_metadata
+
+    rows = [
+        ("a", bytearray(encode_ppm(_checker(8, 6))), "ppm"),
+        ("b", bytearray(encode_pgm(_checker(5, 9, 1))), "pgm"),
+        ("c", bytearray(encode_bmp(_checker(7, 3))), "bmp"),
+        ("d", b"\xff\xd8\xffJPEGDATA", "jpeg"),
+        ("e", b"garbage", "ppm"),
+    ]
+    df = spark.createDataFrame(rows, "key string, img binary, fmt string")
+    out = {r.key: r for r in image_metadata(df, "key", "img", "fmt").collect()}
+    assert (out["a"].format, out["a"].width, out["a"].height, out["a"].channels) == ("ppm", 8, 6, 3)
+    assert (out["b"].format, out["b"].width, out["b"].height, out["b"].channels) == ("pgm", 5, 9, 1)
+    assert (out["c"].format, out["c"].width, out["c"].height, out["c"].channels) == ("bmp", 7, 3, 3)
+    assert out["d"].err and "not available" in out["d"].err
+    assert out["e"].err and out["e"].width is None
+
+
+def test_resize_and_decoded_features_and_registry(spark):
+    import numpy as np
+
+    from anzlic_validator_spark.functions.image import decode_pnm, encode_ppm
+    from anzlic_validator_spark.operators.multimodal import (
+        _IMAGE_DECODERS, decoded_image_features, register_image_decoder, resize_images,
+    )
+
+    img = _checker(12, 8)
+    df = spark.createDataFrame([("a", bytearray(encode_ppm(img)))], "key string, img binary")
+    r = resize_images(df, "key", "img", 6, 4).collect()[0]
+    assert r.err is None and (r.width, r.height) == (6, 4)
+    resized = decode_pnm(bytes(r.payload))
+    assert resized.shape == (4, 6, 3)
+    assert np.array_equal(resized, img[::2, ::2])  # exact nearest-neighbor grid
+
+    f = decoded_image_features(df, "key", "img").collect()[0]
+    assert f.format == "ppm" and abs(f.mean_luma - float(img.mean())) < 1.0
+
+    # registered decoder handles a codec decode_image rejects (fake "JPEG")
+    register_image_decoder("fakejpeg",
+                           lambda b: (np.zeros((2, 3, 3), dtype=np.uint8), "jpeg"))
+    try:
+        df2 = spark.createDataFrame([("j", b"\xff\xd8\xffXX")], "key string, img binary")
+        fj = decoded_image_features(df2, "key", "img").collect()[0]
+        assert fj.err is None and fj.format == "jpeg" and (fj.width, fj.height) == (3, 2)
+    finally:
+        _IMAGE_DECODERS.pop("fakejpeg", None)
+
+
+def test_sample_frames_real_pnm_stream(spark):
+    from anzlic_validator_spark.functions.image import decode_pnm, encode_ppm
+    from anzlic_validator_spark.operators.multimodal import sample_frames
+
+    frames = [_checker(4, 3) * 0 + i * 10 for i in range(9)]
+    stream = b"".join(encode_ppm(f.astype("uint8")) for f in frames)
+    df = spark.createDataFrame([("v", bytearray(stream))], "key string, vid binary")
+    out = sample_frames(df, "key", "vid", n_frames=3).collect()
+    assert [r.frame_idx for r in out] == [0, 1, 2]
+    # each sampled frame is a standalone decodable image, evenly spaced
+    vals = [int(decode_pnm(bytes(r.frame))[0, 0, 0]) for r in out]
+    assert vals == [0, 30, 60]
