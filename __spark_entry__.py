@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": demo_ml.q_dedup_embedding,
         "ann_bruteforce": demo_ml.q_ann_bruteforce,
         "ann_lsh": demo_ml.q_ann_lsh,
+        "ann_ivf": demo_ml.q_ann_ivf,
         "embedding_norms": demo_ml.q_embedding_norms,
         "quality": demo_ml.q_quality,
         "langid": demo_ml.q_langid,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": demo_ml.SQL_DEDUP_EMBEDDING,
         "ann_bruteforce": demo_ml.SQL_ANN_BRUTEFORCE,
         "ann_lsh": demo_ml.SQL_ANN_LSH,
+        "ann_ivf": demo_ml.SQL_ANN_IVF,
         "embedding_norms": demo_ml.SQL_EMBEDDING_NORMS,
         "quality": demo_ml.SQL_QUALITY,
         "langid": demo_ml.SQL_LANGID,

@@ -176,6 +176,91 @@ def embedding_near_duplicates(
     )
 
 
+def _centroid_assign_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow pandas UDF: embedding → the ids of its ``n_probe`` nearest
+    centroids (ascending L2 distance), as one vectorized matmul per batch.
+    n_probe=1 is the corpus-assignment case."""
+    c = centroids.astype(np.float64)  # (n_centroids, dim)
+    c_sq = (c * c).sum(axis=1)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row for argsort
+        d = c_sq[None, :] - 2.0 * (mat @ c.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path alongside SRP-LSH: a seeded MLlib k-means partitions the corpus
+    into ``n_centroids`` lists in ONE assignment pass; each query probes its
+    ``n_probe`` nearest centroids and scores only those lists, cutting the
+    scored pairs to ~n·q·(n_probe/n_centroids). Same output schema as
+    brute_force_topk.
+
+    At 10^12 rows: centroids are trained on a SAMPLE (k-means touches only
+    ``train_fraction`` here via MLlib's internal sampling on maxIter
+    passes), the assignment/probe UDFs are one matmul per Arrow batch, the
+    per-list join shuffles on the centroid id, and n_centroids scales as
+    ~sqrt(n) with n_probe tuning recall — the recall measurement
+    (q_ann_ivf) is the feedback loop, exactly as for LSH.
+
+    Centroid positions depend on MLlib's k-means|| init (seeded but
+    partition-layout sensitive), so downstream contracts should pin RECALL
+    THRESHOLDS, not centroid-dependent values — same posture as ann_lsh.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__vn", l2_norm(F.col("__v")))
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"),
+        F.col(query_vec_col).cast("array<double>").alias("__q"),
+    ).withColumn("__qn", l2_norm(F.col("__q")))
+
+    train = c.select(array_to_vector("__v").alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    centroids = np.stack([np.asarray(cc) for cc in model.clusterCenters()])
+
+    assign1 = _centroid_assign_udf(centroids, 1)
+    probe = _centroid_assign_udf(centroids, n_probe)
+    cb = c.withColumn("cid", assign1(F.col("__v"))[0])
+    qb = q.select("q_id", "__q", "__qn", F.explode(probe(F.col("__q"))).alias("cid"))
+
+    sim = dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn"))
+    scored = (
+        cb.join(F.broadcast(qb), on="cid", how="inner")
+        .where(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", sim.alias("__sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("__sim", 4).alias("sim"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

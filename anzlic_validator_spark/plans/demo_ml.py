@@ -266,6 +266,52 @@ SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
 """
 
 
+def _recall_contract(bf: DataFrame, approx: DataFrame, min_r: float, mean_r: float) -> DataFrame:
+    """Measured recall@k of an approximate top-k vs the brute-force ranking,
+    reduced to contract columns (thresholds + recall_ok flag) — see the
+    q_ann_lsh notes on why measured values stay out of the compared output."""
+    hits = bf.join(approx.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "left_semi")
+    per_q = (
+        bf.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("h")), "q_id", "left")
+        .select((F.coalesce("h", F.lit(0)) / F.col("n")).alias("recall"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(5).alias("k"),
+        F.lit(float(min_r)).alias("min_recall_threshold"),
+        F.lit(float(mean_r)).alias("mean_recall_threshold"),
+        ((F.min("recall") >= min_r) & (F.avg("recall") >= mean_r)).alias("recall_ok"),
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (seeded MLlib k-means coarse quantizer +
+    nearest-lists probing) with the same measured-recall contract as
+    q_ann_lsh. Thresholds carry extra margin because k-means|| centroid
+    positions are seeded but partition-layout sensitive — the contract pins
+    the QUALITY FLOOR, never centroid-dependent values."""
+    from anzlic_validator_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    ivf = ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=10)
+    bf = brute_force_topk(emb, queries, k=5)
+    return _recall_contract(bf, ivf, min_r=0.4, mean_r=0.7)
+
+
+SQL_ANN_IVF = """
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
+       CAST(5 AS INT) AS k,
+       CAST(0.4 AS DOUBLE) AS min_recall_threshold,
+       CAST(0.7 AS DOUBLE) AS mean_recall_threshold,
+       true AS recall_ok
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a corpus with planted duplicates
     (scaled copies — scaling preserves direction, so cosine == 1 exactly and

@@ -163,6 +163,7 @@ QUERY_NAMES = [
     "dedup_embedding",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "embedding_norms",
     "quality",
     "langid",

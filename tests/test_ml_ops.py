@@ -301,3 +301,24 @@ def test_winnow_fingerprints_and_near_dups(spark):
              for r in winnow_near_duplicates(df, "text", "doc_id", min_shared=2).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF coarse-quantizer ANN: same schema as brute force, high recall at
+    generous probe fractions, exact when probing every centroid."""
+    from anzlic_validator_spark.operators.similarity import brute_force_topk, ivf_topk
+    from anzlic_validator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    bf = {(r.q_id, r.rank): r.neighbor_id for r in brute_force_topk(emb, qs, k=3).collect()}
+    # probing ALL centroids must reproduce brute force exactly
+    full = ivf_topk(emb, qs, dim=64, k=3, n_centroids=8, n_probe=8)
+    assert {(r.q_id, r.rank): r.neighbor_id for r in full.collect()} == bf
+    # partial probing: valid schema, correct per-query row count, sims sane
+    part = ivf_topk(emb, qs, dim=64, k=3, n_centroids=8, n_probe=4).collect()
+    assert all(-1.0 <= r.sim <= 1.0 and 1 <= r.rank <= 3 for r in part)
+    hits = sum(1 for r in part if bf.get((r.q_id, r.rank)) == r.neighbor_id)
+    assert hits >= len(part) // 2  # loose floor; the oracle pins the real contract
