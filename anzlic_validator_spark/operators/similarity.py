@@ -207,6 +207,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 5,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path alongside SRP-LSH: a seeded MLlib k-means partitions the corpus
@@ -215,11 +216,11 @@ def ivf_topk(
     scored pairs to ~n·q·(n_probe/n_centroids). Same output schema as
     brute_force_topk.
 
-    At 10^12 rows: centroids are trained on a SAMPLE (k-means touches only
-    ``train_fraction`` here via MLlib's internal sampling on maxIter
-    passes), the assignment/probe UDFs are one matmul per Arrow batch, the
-    per-list join shuffles on the centroid id, and n_centroids scales as
-    ~sqrt(n) with n_probe tuning recall — the recall measurement
+    At 10^12 rows: train centroids on a seeded SAMPLE (``train_fraction``,
+    e.g. 1e-6 — k-means quality needs ~100-1000 points per centroid, not
+    the corpus), the assignment/probe UDFs are one matmul per Arrow batch,
+    the per-list join shuffles on the centroid id, and n_centroids scales
+    as ~sqrt(n) with n_probe tuning recall — the recall measurement
     (q_ann_ivf) is the feedback loop, exactly as for LSH.
 
     Centroid positions depend on MLlib's k-means|| init (seeded but
@@ -239,6 +240,8 @@ def ivf_topk(
     ).withColumn("__qn", l2_norm(F.col("__q")))
 
     train = c.select(array_to_vector("__v").alias("features"))
+    if train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
     centroids = np.stack([np.asarray(cc) for cc in model.clusterCenters()])
 
