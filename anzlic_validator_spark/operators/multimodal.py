@@ -53,24 +53,40 @@ _IMAGE_DECODERS: dict[str, object] = {}
 
 
 def register_image_decoder(name: str, decode_fn) -> None:
-    """Add a decoder for payloads whose sniffing decode_image rejects
-    (e.g. PNG/JPEG in a container with Pillow). ``decode_fn(bytes)`` →
-    (HxW[xC] uint8 ndarray, format string); raise on corruption."""
+    """Add a decoder for payloads whose sniffing decode_image rejects —
+    both absent codecs (PNG/JPEG in a container with Pillow) and formats
+    the built-ins don't recognize at all (GIF, WebP, ...).
+    ``decode_fn(bytes)`` → (HxW[xC] uint8 ndarray, format string); raise on
+    corruption."""
     _IMAGE_DECODERS[str(name)] = decode_fn
+
+
+_IMGX_MAX_PIXELS = 1 << 26  # 64M px ≈ 192 MB decoded — reject beyond
 
 
 def _decode_image_kernel(payload: bytes, extra_decoders: dict) -> tuple[np.ndarray, str]:
     """Real decode for PPM/PGM/BMP (functions/image.py), plus the legacy
     12-byte IMGX test header (returns a synthetic array of the declared
     shape), plus any registered decoders; PNG/JPEG raise the documented
-    environment NotImplementedError from decode_image."""
+    environment NotImplementedError from decode_image.
+
+    IMGX dimensions are BOUNDED before allocating: payloads are untrusted,
+    and an arbitrary-binary row whose first bytes spell IMGX must become a
+    per-row error, never an allocation that OOM-kills the worker."""
+    from anzlic_validator_spark.functions.image import ImageError
+
     if payload[:4] == b"IMGX" and len(payload) >= 12:
         w = int.from_bytes(payload[4:8], "little")
         h = int.from_bytes(payload[8:12], "little")
+        if not (0 < w <= 65535 and 0 < h <= 65535 and w * h <= _IMGX_MAX_PIXELS):
+            raise ImageError(f"IMGX dimensions out of bounds: {w}x{h}")
         return np.zeros((h, w, 3), dtype=np.uint8), "imgx"
     try:
         return decode_image(payload)
-    except NotImplementedError:
+    except (NotImplementedError, ImageError):
+        # registered decoders get a shot at anything the built-in sniffing
+        # rejects — absent codecs (PNG/JPEG) AND unrecognized magics
+        # (GIF/WebP/...) alike, per register_image_decoder's contract
         for fn in extra_decoders.values():
             try:
                 return fn(payload)

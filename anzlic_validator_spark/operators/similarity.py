@@ -244,6 +244,10 @@ def ivf_topk(
         train = train.sample(fraction=train_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
     centroids = np.stack([np.asarray(cc) for cc in model.clusterCenters()])
+    if centroids.shape[1] != dim:
+        raise ValueError(
+            f"embedding dimension mismatch: declared dim={dim}, data has {centroids.shape[1]}"
+        )
 
     assign1 = _centroid_assign_udf(centroids, 1)
     probe = _centroid_assign_udf(centroids, n_probe)

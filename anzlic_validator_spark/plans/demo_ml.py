@@ -236,25 +236,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = lsh_topk(emb, queries, dim=64, k=5, bits=4, n_tables=24)
     bf = brute_force_topk(emb, queries, k=5)
-    hits = bf.join(lsh.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "left_semi")
-    per_q = (
-        bf.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("h")), "q_id", "left")
-        .select((F.coalesce("h", F.lit(0)) / F.col("n")).alias("recall"))
-    )
-    # contract columns only (VERDICT r02 #6): the measured min/mean recall
-    # are deliberately NOT part of the compared output — freezing them in
-    # the oracle made every parameter retune an oracle edit. The thresholds
-    # appear as literal columns so the contract is self-describing; the
-    # recall_ok flag is the durable assertion (with margin under retuning).
-    return per_q.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.lit(5).alias("k"),
-        F.lit(0.6).alias("min_recall_threshold"),
-        F.lit(0.85).alias("mean_recall_threshold"),
-        ((F.min("recall") >= 0.6) & (F.avg("recall") >= 0.85)).alias("recall_ok"),
-    )
+    return _recall_contract(bf, lsh, k=5, min_r=0.6, mean_r=0.85)
 
 
 SQL_ANN_LSH = """
@@ -266,10 +248,15 @@ SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
 """
 
 
-def _recall_contract(bf: DataFrame, approx: DataFrame, min_r: float, mean_r: float) -> DataFrame:
+def _recall_contract(
+    bf: DataFrame, approx: DataFrame, k: int, min_r: float, mean_r: float
+) -> DataFrame:
     """Measured recall@k of an approximate top-k vs the brute-force ranking,
-    reduced to contract columns (thresholds + recall_ok flag) — see the
-    q_ann_lsh notes on why measured values stay out of the compared output."""
+    reduced to contract columns (thresholds + recall_ok flag). The measured
+    min/mean recall stay OUT of the compared output (VERDICT r02 #6):
+    freezing them in the oracle made every parameter retune an oracle edit;
+    the threshold literals keep the contract self-describing and the
+    recall_ok flag is the durable assertion (with margin under retuning)."""
     hits = bf.join(approx.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "left_semi")
     per_q = (
         bf.groupBy("q_id")
@@ -279,7 +266,7 @@ def _recall_contract(bf: DataFrame, approx: DataFrame, min_r: float, mean_r: flo
     )
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.lit(5).alias("k"),
+        F.lit(int(k)).alias("k"),
         F.lit(float(min_r)).alias("min_recall_threshold"),
         F.lit(float(mean_r)).alias("mean_recall_threshold"),
         ((F.min("recall") >= min_r) & (F.avg("recall") >= mean_r)).alias("recall_ok"),
@@ -300,7 +287,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf = ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=10)
     bf = brute_force_topk(emb, queries, k=5)
-    return _recall_contract(bf, ivf, min_r=0.4, mean_r=0.7)
+    return _recall_contract(bf, ivf, k=5, min_r=0.4, mean_r=0.7)
 
 
 SQL_ANN_IVF = """
@@ -434,10 +421,12 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (PPM/PGM/BMP, functions/image.py) over a
     deterministic synthetic table generated distributed (mapInPandas):
     dims/format/corruption from row-index arithmetic, so the expected
-    metadata is closed-form SQL — the image analog of the audio census."""
+    metadata is closed-form SQL — the image analog of the audio census.
+    FIXED 300 rows at every SF (a codec-correctness probe, not a scale
+    probe) so the oracle's range(300) always matches."""
     from anzlic_validator_spark.operators.multimodal import image_metadata
 
-    n = max(300, int(3000 * _sf_of(sf_dir)))
+    n = 300
 
     def gen(batches):
         import numpy as np
@@ -472,13 +461,6 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", "format", "width", "height", "channels",
         F.col("err").isNull().alias("ok"),
     )
-
-
-def _sf_of(sf_dir: str) -> float:
-    try:
-        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        return 0.001
 
 
 SQL_IMAGE_META = """

@@ -368,3 +368,47 @@ def test_sample_frames_real_pnm_stream(spark):
     # each sampled frame is a standalone decodable image, evenly spaced
     vals = [int(decode_pnm(bytes(r.frame))[0, 0, 0]) for r in out]
     assert vals == [0, 30, 60]
+
+
+def test_hostile_imgx_header_is_per_row_error(spark):
+    """Review r03-2: an arbitrary-binary payload spelling IMGX with huge
+    declared dimensions must become an err row, never an allocation that
+    OOM-kills the worker."""
+    import struct as _s
+
+    from anzlic_validator_spark.operators.multimodal import image_metadata
+
+    hostile = b"IMGX" + _s.pack("<ii", 60000, 60000)  # 10.8 GB if allocated
+    zero = b"IMGX" + _s.pack("<ii", 0, 5)
+    df = spark.createDataFrame(
+        [("h", hostile, "imgx"), ("z", zero, "imgx")], "key string, img binary, fmt string"
+    )
+    out = {r.key: r for r in image_metadata(df, "key", "img", "fmt").collect()}
+    assert out["h"].err and "out of bounds" in out["h"].err
+    assert out["z"].err and "out of bounds" in out["z"].err
+
+
+def test_registered_decoder_handles_unrecognized_magic(spark):
+    """Review r03-2: registered decoders must also get payloads the
+    built-in sniffing rejects as unrecognized (GIF/WebP), not only
+    PNG/JPEG NotImplementedError magics."""
+    import numpy as np
+
+    from anzlic_validator_spark.operators.multimodal import (
+        _IMAGE_DECODERS, decoded_image_features, register_image_decoder,
+    )
+
+    register_image_decoder(
+        "fakegif",
+        lambda b: ((np.full((2, 2, 3), 7, dtype=np.uint8), "gif")
+                   if b[:4] == b"GIF8" else (_ for _ in ()).throw(ValueError("not gif"))),
+    )
+    try:
+        df = spark.createDataFrame(
+            [("g", b"GIF89a....."), ("x", b"QQQQgarbage")], "key string, img binary"
+        )
+        out = {r.key: r for r in decoded_image_features(df, "key", "img").collect()}
+        assert out["g"].err is None and out["g"].format == "gif"
+        assert out["x"].err and "unrecognized" in out["x"].err
+    finally:
+        _IMAGE_DECODERS.pop("fakegif", None)
