@@ -37,7 +37,8 @@ def _census_message(what: str, n_buckets: int, cap: int, n_rows: int) -> str:
     return (
         f"{what}: dropped {n_buckets} oversized LSH buckets (> {cap} rows) covering "
         f"{n_rows} bucket-rows from candidate generation — pairs confined to those "
-        "buckets are not reported (counts may include task retries)"
+        "buckets are not reported (ADVISORY count: retries/speculation inflate it, "
+        "and a mid-job log may be partial until the atexit flush corrects it)"
     )
 
 
@@ -64,6 +65,7 @@ def _poll_bucket_census(acc_buckets, acc_rows, cap: int, what: str, state: dict)
             return
         if cur and cur == last:
             state["logged"] = True
+            state["value"] = cur
             log.warning(_census_message(what, cur, cap, int(acc_rows.value)))
             return
         last = cur
@@ -77,16 +79,18 @@ _CENSUS_ATEXIT_ARMED = False
 
 
 def _flush_census_at_exit() -> None:
+    # re-logs even already-logged censuses whose accumulators kept growing
+    # after the stability window (a stage that stalled >10s mid-tally logs a
+    # partial count; the final value at exit corrects it — ADVICE r03)
     for acc_b, acc_r, cap, what, state in _CENSUS_PENDING:
-        if state["logged"]:
-            continue
         try:
             cur = int(round(float(acc_b.value)))
             rows = int(acc_r.value)
         except Exception:  # SparkContext already stopped
             continue
-        if cur:
+        if cur and cur != state.get("value", 0):
             state["logged"] = True
+            state["value"] = cur
             log.warning(_census_message(what, cur, cap, rows))
 
 
@@ -95,7 +99,7 @@ def _arm_census(acc_buckets, acc_rows, cap: int, what: str) -> None:
     import atexit
     import threading
 
-    state = {"logged": False}
+    state = {"logged": False, "value": 0}
     _CENSUS_PENDING.append((acc_buckets, acc_rows, cap, what, state))
     if not _CENSUS_ATEXIT_ARMED:
         atexit.register(_flush_census_at_exit)
@@ -123,10 +127,12 @@ def lsh_candidate_pairs(
 
     Two physical strategies, chosen by whether a cap bounds the buckets:
 
-    - ``max_bucket_size`` set → per-bucket ``collect_list`` + pairwise array
-      expansion: ONE shuffle on the bucket key (a self-join shuffles and
-      sorts the stream for both sides), in-bucket fan-out inside codegen.
-      Safe precisely because the cap bounds every collected list.
+    - ``max_bucket_size`` set → per-bucket ``collect_list`` + INCREMENTAL
+      pairwise expansion: ONE shuffle on the bucket key (a self-join shuffles
+      and sorts the stream for both sides), in-bucket fan-out inside codegen.
+      Each member is posexploded out and paired against the remainder of its
+      bucket, so per-row memory stays O(cap) — the collected bucket array —
+      never the O(cap²) pair set (which streams through the second explode).
     - ``max_bucket_size=None`` → classic bucket self-join: slower (second
       shuffle + sort) but SPILL-SAFE — a degenerate bucket degrades to a
       quadratic-but-streaming join instead of materializing O(s²) pairs in
@@ -200,24 +206,32 @@ def lsh_candidate_pairs(
     )
     grouped = grouped.unionByName(census)
     _arm_census(acc_buckets, acc_rows, cap, what)
-    arr = F.col("__ms")
 
     def ordered_pair(x, y):
         return F.when(
             x["id"] < y["id"], F.struct(x.alias("a"), y.alias("b"))
         ).otherwise(F.struct(y.alias("a"), x.alias("b")))
 
-    pairs = F.flatten(
-        F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + F.lit(2), F.greatest(F.size(arr) - i - 1, F.lit(0))),
-                lambda y: ordered_pair(x, y),
-            ),
-        )
+    # INCREMENTAL pair expansion (ADVICE r03): posexplode each member out
+    # first, then pair it against the remainder of its bucket. A single
+    # flatten(transform(transform(...))) materialized all O(s²) pair structs
+    # of a bucket inside ONE aggregation row — ~50M structs (GBs) for a
+    # bucket near a 10k cap — before the explode could stream them. This
+    # shape keeps per-row memory O(s): each generated row carries the bucket
+    # array plus one member's pair list, and the second explode streams the
+    # pairs through the generator.
+    member = grouped.select(
+        F.col("__ms"), F.posexplode("__ms").alias("__i", "__x")
+    )
+    rest = F.slice(
+        F.col("__ms"),
+        F.col("__i") + F.lit(2),
+        F.greatest(F.size("__ms") - F.col("__i") - 1, F.lit(0)),
     )
     base = (
-        grouped.select(F.explode(pairs).alias("__pr"))
+        member.select(
+            F.explode(F.transform(rest, lambda y: ordered_pair(F.col("__x"), y))).alias("__pr")
+        )
         .select("__pr.a", "__pr.b")
         .where(F.col("a.id") != F.col("b.id"))  # defend against duplicate input ids
     )
@@ -365,7 +379,11 @@ def minhash_near_duplicates(
     corpus text through the exchange — strictly worse at scale — so the
     right plan is ONE computation persisted (MEMORY_AND_DISK, spills
     gracefully; Spark evicts LRU). Disable for fire-and-forget plans where
-    recompute is preferable to pinning executor storage.
+    recompute is preferable to pinning executor storage. The persist is NOT
+    auto-unpersisted (the result is lazy; the operator never sees the
+    consuming action) — long-lived sessions invoking this repeatedly should
+    ``spark.catalog.clearCache()`` / unpersist after consuming the result,
+    or pass ``persist_shingles=False``.
 
     Band tuning: with b bands of r rows, P(candidate) = 1-(1-j^r)^b.
     Defaults (b=21, r=3) give recall ≥ 0.9998 at j=0.7 and ≥ 0.99 at the

@@ -111,6 +111,8 @@ def make_srp_buckets_udf(dim: int, bits: int, n_tables: int, seed: int):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def srp_buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         signs = (mat @ planes) >= 0  # (batch, bits*n_tables)
         signs = signs.reshape(len(vecs), n_tables, bits)
@@ -143,6 +145,10 @@ def embedding_near_duplicates(
 
     ``max_bucket_size`` caps degenerate buckets (e.g. a mass of zero-ish
     embeddings) exactly like the text-LSH dedup caps.
+
+    ``persist_vectors`` is not auto-unpersisted (the result is lazy) —
+    long-lived sessions should unpersist after the consuming action or pass
+    ``persist_vectors=False`` (see minhash_near_duplicates).
     """
     from anzlic_validator_spark.operators.dedup import lsh_candidate_pairs
 
@@ -185,6 +191,8 @@ def _centroid_assign_udf(centroids: np.ndarray, n_probe: int):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row for argsort
         d = c_sq[None, :] - 2.0 * (mat @ c.T)

@@ -51,10 +51,20 @@ def stopword_ratio(col: Column, lang: str = "en") -> Column:
     return hits.cast("double") / F.size(toks).cast("double")
 
 
-def predict_language(col: Column, threshold: float = 0.05) -> Column:
+def predict_language_from_tokens(toks: Column, threshold: float = 0.05) -> Column:
     """Pick the language whose stopword ratio is highest (and above the
-    threshold); 'unk' otherwise."""
-    ratios = {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
+    threshold); 'unk' otherwise.
+
+    ``toks`` should be a MATERIALIZED token-array column: each language's
+    ratio filters the array once, and the chained ``when``s reference every
+    ratio — with an inline ``split()`` Catalyst re-inlines the split into
+    each reference (no CSE across the chain), costing one split per language
+    per row (VERDICT r03; bounded by 3 languages today, not at 30)."""
+    n = F.size(toks).cast("double")
+    ratios = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))).cast("double") / n
+        for lang in STOPWORDS
+    }
     best_lang = F.lit("unk")
     best_ratio = F.lit(float(threshold))
     # deterministic order: iterate sorted lang codes
@@ -63,6 +73,12 @@ def predict_language(col: Column, threshold: float = 0.05) -> Column:
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_ratio = F.when(better, ratios[lang]).otherwise(best_ratio)
     return best_lang
+
+
+def predict_language(col: Column, threshold: float = 0.05) -> Column:
+    """Convenience wrapper over a raw text column; hot paths should split
+    into a materialized token column and use predict_language_from_tokens."""
+    return predict_language_from_tokens(tokens(col), threshold)
 
 
 def kgram_hashes(toks: Column, k: int = 3) -> Column:

@@ -22,7 +22,7 @@ from anzlic_validator_spark.operators.similarity import (
     l2_norm,
     lsh_topk,
 )
-from anzlic_validator_spark.operators.text import predict_language, quality_features
+from anzlic_validator_spark.operators.text import quality_features
 from anzlic_validator_spark.sources.tables import load_table
 
 # --------------------------------------------------------------- exact dedup
@@ -377,13 +377,22 @@ FROM t
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anzlic_validator_spark.operators.text import predict_language_from_tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    pred = predict_language(F.col("text"), threshold=0.05)
-    return docs.select(
+    # tokens materialized once; the language-ratio whens reference the array,
+    # not an inline split-per-language (the no-CSE rule)
+    toked = docs.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("__toks")
+    ).select(
+        "doc_id", "lang",
+        predict_language_from_tokens(F.col("__toks"), threshold=0.05).alias("pred_lang"),
+    )
+    return toked.select(
         "doc_id",
-        pred.alias("pred_lang"),
+        "pred_lang",
         F.col("lang"),
-        (pred == F.col("lang")).cast("int").alias("match"),
+        (F.col("pred_lang") == F.col("lang")).cast("int").alias("match"),
     )
 
 

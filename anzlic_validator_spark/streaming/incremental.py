@@ -96,6 +96,40 @@ def _cleanup_folded_epochs(spark: SparkSession, seen_path: str, epoch_id: int) -
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{seen_path}/epoch={e}"), True)
 
 
+def _commit_fold(spark: SparkSession, tmp: str, seen_path: str, epoch_id: int) -> None:
+    """Atomically promote a written fold dir to ``epoch={epoch_id}`` and stamp
+    its ``_COMPACTED`` marker — marker LAST, and only after verifying the fold
+    landed with data files. Hadoop ``rename()`` signals failure by RETURN
+    VALUE, not exception, and a bare ``create()`` of the marker makes parent
+    dirs — so an unchecked rename could yield an epoch dir containing only
+    the marker, licensing ``_cleanup_folded_epochs`` to delete the entire
+    real history while the "fold" is empty (ADVICE r03). Raising instead
+    fails the micro-batch: streaming retries it, and the retry's own delete
+    clears the unmarked partial partition."""
+    fs, _, jvm = _fs(spark, seen_path)
+    target = jvm.org.apache.hadoop.fs.Path(f"{seen_path}/epoch={epoch_id}")
+    fs.delete(target, True)  # retry: drop the attempt's own partial write
+    try:
+        # some FileSystem impls throw instead of returning False (e.g. local
+        # fs on a missing source) — both forms are a failed fold
+        renamed = fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), target)
+    except Exception as e:
+        raise IOError(f"seen-keys fold rename failed: {tmp} -> {target}") from e
+    if not renamed:
+        raise IOError(f"seen-keys fold rename failed: {tmp} -> {target}")
+    has_data = fs.exists(target) and any(
+        not st.getPath().getName().startswith("_")
+        for st in fs.listStatus(target)
+    )
+    if not has_data:
+        fs.delete(target, True)  # drop the empty husk; the retry re-folds
+        raise IOError(
+            f"seen-keys fold landed empty at {target}; refusing to stamp the "
+            "compaction marker"
+        )
+    fs.create(jvm.org.apache.hadoop.fs.Path(target, _COMPACTED_MARKER), True).close()
+
+
 def _unique_key_expr(rule: Rule) -> F.Column:
     """NULL-safe tuple encoding. concat_ws silently SKIPS NULLs, so distinct
     tuples like ('x', NULL) and (NULL, 'x') would both encode to 'x' and read
@@ -254,13 +288,7 @@ def validate_stream(
                 )
                 tmp = f"{output_path}/_seen_keys_fold_tmp"
                 folded.write.mode("overwrite").parquet(tmp)
-                fs, _, jvm = _fs(s, seen_path)
-                target = jvm.org.apache.hadoop.fs.Path(f"{seen_path}/epoch={epoch_id}")
-                fs.delete(target, True)  # retry: drop the attempt's own partial write
-                fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), target)
-                fs.create(
-                    jvm.org.apache.hadoop.fs.Path(target, _COMPACTED_MARKER), True
-                ).close()
+                _commit_fold(s, tmp, seen_path, epoch_id)
             else:
                 (
                     new_keys.withColumn("epoch", F.lit(epoch_id))

@@ -275,6 +275,33 @@ def test_lsh_candidate_pairs_edges(spark):
     assert lsh_candidate_pairs(df3, ["tbl", "bkt"], ["id"], None, "t").count() == 0
 
 
+def test_lsh_capped_incremental_expansion_matches_self_join(spark):
+    """ADVICE r03: the capped path expands pairs incrementally (posexplode +
+    pair-against-remainder) instead of materializing O(s²) structs in one
+    aggregation row. Pin exact pair-set equality (and counts mode) against
+    the uncapped self-join strategy on a mid-sized bucket."""
+    from anzlic_validator_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [(i, 0, int(i % 2)) for i in range(80)]  # two buckets of 40
+    df = spark.createDataFrame(rows, "id long, tbl int, bkt long")
+    want = sorted(
+        (r.a.id, r.b.id)
+        for r in lsh_candidate_pairs(df, ["tbl", "bkt"], ["id"], None, "t").collect()
+    )
+    got = sorted(
+        (r.a.id, r.b.id)
+        for r in lsh_candidate_pairs(df, ["tbl", "bkt"], ["id"], 40, "t").collect()
+    )
+    assert got == want and len(got) == 2 * (40 * 39) // 2
+    # counts mode: a pair sharing two buckets tallies n_shared=2 on both paths
+    df2 = spark.createDataFrame(
+        [(1, 0, 5), (2, 0, 5), (1, 1, 7), (2, 1, 7)], "id long, tbl int, bkt long"
+    )
+    for cap in (None, 10):
+        out = lsh_candidate_pairs(df2, ["tbl", "bkt"], ["id"], cap, "t", counts=True).collect()
+        assert len(out) == 1 and out[0].n_shared == 2
+
+
 def test_winnow_fingerprints_and_near_dups(spark):
     """Winnowing (MOSS): shared token runs >= w+k-1 guarantee a shared
     fingerprint; unrelated docs share none; short docs degrade to a single

@@ -224,6 +224,40 @@ def test_streaming_seen_log_compaction(spark, tmp_path):
     assert ("dup-0", "seen_in_epoch=0") in rows
 
 
+def test_fold_commit_refuses_empty_or_failed_fold(spark, tmp_path):
+    """ADVICE r03: a failed/empty fold rename must RAISE, never stamp the
+    _COMPACTED marker — a marker over an empty dir licenses the deferred
+    cleanup to delete the entire seen-key history."""
+    import os
+
+    import pytest
+
+    from anzlic_validator_spark.streaming.incremental import (
+        _commit_fold,
+        _seen_epoch_dirs,
+    )
+
+    seen = str(tmp_path / "out" / "_seen_keys")
+    # 1) tmp dir does not exist -> hadoop rename returns False -> IOError
+    with pytest.raises(IOError):
+        _commit_fold(spark, str(tmp_path / "no_such_tmp"), seen, 5)
+    assert _seen_epoch_dirs(spark, seen).get(5) is not True
+    # 2) tmp dir exists but holds only underscore files -> "landed empty"
+    tmp2 = tmp_path / "fold_tmp"
+    tmp2.mkdir()
+    (tmp2 / "_SUCCESS").write_text("")
+    with pytest.raises(IOError):
+        _commit_fold(spark, str(tmp2), seen, 6)
+    assert _seen_epoch_dirs(spark, seen).get(6) is not True
+    # 3) a real data file -> fold promoted + marker stamped
+    tmp3 = tmp_path / "fold_tmp3"
+    tmp3.mkdir()
+    (tmp3 / "part-0.parquet").write_bytes(b"x")
+    _commit_fold(spark, str(tmp3), seen, 7)
+    assert _seen_epoch_dirs(spark, seen) == {7: True}
+    assert os.path.exists(os.path.join(seen, "epoch=7", "part-0.parquet"))
+
+
 def test_stateful_unique_stream(spark, tmp_path):
     """State-store cross-batch uniqueness (applyInPandasWithState): first
     occurrence passes, later occurrences violate with their prior count;
