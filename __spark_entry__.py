@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": demo_ml.q_dedup_minhash,
         "dedup_simhash": demo_ml.q_dedup_simhash,
         "dedup_winnow": demo_ml.q_dedup_winnow,
+        "dedup_clusters": demo_ml.q_dedup_clusters,
         "image_meta": demo_ml.q_image_meta,
         "dedup_embedding": demo_ml.q_dedup_embedding,
         "ann_bruteforce": demo_ml.q_ann_bruteforce,
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": demo_ml.SQL_DEDUP_MINHASH,
         "dedup_simhash": demo_ml.SQL_DEDUP_SIMHASH,
         "dedup_winnow": demo_ml.SQL_DEDUP_WINNOW,
+        "dedup_clusters": demo_ml.SQL_DEDUP_CLUSTERS,
         "image_meta": demo_ml.SQL_IMAGE_META,
         "dedup_embedding": demo_ml.SQL_DEDUP_EMBEDDING,
         "ann_bruteforce": demo_ml.SQL_ANN_BRUTEFORCE,

@@ -1,0 +1,156 @@
+"""Near-duplicate cluster resolution: connected components + survivor
+selection over candidate-pair graphs.
+
+All four pair-emitting near-dup operators (minhash / simhash / winnow /
+embedding) stop at ``(a_id, b_id)`` pairs; a training pipeline drops
+duplicates by CLUSTER — A–B and B–C imply {A, B, C} keep ONE survivor.
+Reference analog: the duplicate-field sweep collapses whole groups, not
+pairs (testing-dublin-core.py:72-83); ``exact_duplicates`` already names a
+per-group ``canonical_id`` (operators/dedup.py) — this extends that to the
+transitive case.
+
+Algorithm: hash-min label propagation WITH pointer jumping. Plain hash-min
+needs O(diameter) rounds (a length-d chain takes d rounds to flood); adding
+the pointer-jump step — each vertex adopts the label OF ITS LABEL — halves
+surviving chain depth per round, giving O(log d) rounds, the same asymptotic
+round count as large-star/small-star (Kiveris et al., "Connected Components
+in MapReduce and Beyond") with a simpler two-join round body. Dedup cluster
+graphs are overwhelmingly dense (LSH emits most intra-cluster pairs), so
+real corpora converge in 2–4 rounds.
+
+Scale shape per round: one shuffle join edges⋈labels + groupBy (min
+neighbor label), one self-join of the label table (pointer jump), one
+single-row convergence aggregate. The label table is O(V) rows of two ids —
+tiny next to the corpus — and is eagerly ``localCheckpoint``ed each round to
+truncate lineage (iterative plans otherwise grow exponentially). On a real
+cluster with executor churn, set ``spark.checkpoint.dir`` and swap
+``localCheckpoint`` for reliable ``checkpoint`` at the same call sites;
+local mode has no executor loss, so the cheaper variant is correct here.
+
+Labels are monotonically non-increasing and bounded below by the component
+minimum (the minimum vertex's label is itself and can never decrease), and
+each round counts exactly the rows whose label changed — a zero count is an
+exact fixpoint test: at a fixpoint every edge has label(u) ≤ label(v) in
+both directions, hence labels are constant per component and equal to the
+component min id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Undirected connected components of a pair graph →
+    ``(id, cluster_id)`` with ``cluster_id`` = min id in the component.
+
+    Every vertex appearing in ``pairs`` gets a row (singletons never appear
+    — a vertex with no pair is its own trivial cluster and needs no row).
+    Ids may be any orderable type (numeric, string). Raises RuntimeError if
+    the fixpoint is not reached within ``max_iterations`` rounds — with
+    pointer jumping that bound covers graphs of diameter ~2^max_iterations,
+    so hitting it means something is wrong, not that the graph is big.
+    """
+    from pyspark import StorageLevel
+
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)  # reused every round
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iterations):
+            # 1) min over neighbours' labels (the one edge-sized shuffle).
+            # The round threads the OLD label through as __old so convergence
+            # is an exact changed-row count — type-agnostic (string ids too),
+            # no probabilistic hash fingerprint.
+            nbr = (
+                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
+                .withColumnRenamed("src", "id")
+            )
+            merged = (
+                labels.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    F.col("label").alias("__old"),
+                    F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                        "label"
+                    ),
+                )
+                # checkpoint BEFORE the self-join: an uncheckpointed self-join
+                # would recompute the neighbour join for both sides
+                .localCheckpoint(eager=True)
+            )
+            # 2) pointer jump: adopt the label of one's label — label values
+            # are always vertex ids, so the join hits (left + coalesce only
+            # defends the invariant, it never fires on well-formed input)
+            m2 = merged.select(
+                F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+            )
+            stepped = (
+                merged.join(m2, merged["label"] == m2["__lid"], "left")
+                .select(
+                    merged["id"],
+                    merged["__old"],
+                    F.least(
+                        merged["label"], F.coalesce(m2["__llabel"], merged["label"])
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = stepped.agg(
+                F.sum((F.col("__old") != F.col("label")).cast("long")).alias("c")
+            ).first()["c"]
+            labels = stepped.select("id", "label")
+            if not changed:  # None (empty graph) or 0 -> fixpoint
+                return labels.select("id", F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
+def select_survivors(
+    members: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Keep-one-per-cluster policy → ``(cluster_id, n_members, survivor_id)``.
+
+    ``quality_col=None``: survivor = min id (the ``exact_duplicates``
+    canonical_id convention). With a NUMERIC ``quality_col``: survivor =
+    highest quality, ties broken by min id — e.g. keep the longest document
+    of a near-dup cluster. One map-side-combined groupBy; no window, no
+    second shuffle.
+    """
+    if quality_col is None:
+        return members.groupBy(cluster_col).agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(id_col).alias("survivor_id"),
+        )
+    best = F.min(
+        F.struct((-F.col(quality_col)).alias("__nq"), F.col(id_col).alias("__sid"))
+    )
+    return (
+        members.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("n_members"), best.alias("__b"))
+        .select(cluster_col, "n_members", F.col("__b.__sid").alias("survivor_id"))
+    )

@@ -143,6 +143,100 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def _corpus_with_chained_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup corpus with TRANSITIVE structure: every %10 doc gets a
+    tail-truncated copy (+100000) and every %20 doc additionally a
+    head-truncated copy (+200000) — A~B and A~C always pair; B~C may or may
+    not clear the Jaccard threshold (shorter docs fall below), which is
+    exactly the chain case cluster resolution exists for."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    tail = F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ")
+    head = F.array_join(F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))), " ")
+    c_tail = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), tail.alias("text")
+    )
+    c_head = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), head.alias("text")
+    )
+    return docs.unionByName(c_tail).unionByName(c_head)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution (VERDICT r03 #1): minhash pairs →
+    connected components (hash-min + pointer jumping) → keep-one survivor
+    per cluster (longest doc, ties min id). The contract is robust to
+    borderline LSH misses: dropping an in-cluster pair changes nothing as
+    long as the component stays connected, and the high-Jaccard A–B / A–C
+    links (recall ≈ 1-4e-7) always bridge it."""
+    from anzlic_validator_spark.operators.clusters import (
+        connected_components,
+        select_survivors,
+    )
+
+    corpus = _corpus_with_chained_dups(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        corpus, "text", "doc_id", threshold=0.6, num_hashes=63, n_bands=21,
+        max_bucket_size=10_000,
+    )
+    clusters = connected_components(pairs, "a_id", "b_id")
+    ntok = corpus.select(
+        F.col("doc_id").alias("id"), F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    members = clusters.join(ntok, "id")
+    return select_survivors(members, quality_col="n_tokens")
+
+
+# oracle: exact pairwise Jaccard pairs (as SQL_DEDUP_MINHASH) → transitive
+# closure by recursive CTE → per-cluster survivor by (n_tokens DESC, id ASC)
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ')
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(string_split(text,' ')[3:len(string_split(text,' '))], ' ')
+  FROM documents WHERE doc_id % 20 = 0
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text,' ')) >= 3 THEN
+           list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+             i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+         ELSE [text] END AS s
+  FROM corpus
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.u AS id, rr.r FROM edges e JOIN reach rr ON e.v = rr.id
+),
+cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+m AS (
+  SELECT cl.cluster_id, cl.id, len(string_split(c.text,' ')) AS n_tokens
+  FROM cl JOIN corpus c ON cl.id = c.doc_id
+),
+ranked AS (
+  SELECT cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         id AS survivor_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, id ASC) AS rn
+  FROM m
+)
+SELECT cluster_id, n_members, survivor_id FROM ranked WHERE rn = 1
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups, now with a full value oracle: the md5 bit-vote
     signature is reproducible in DuckDB (md5_number_upper == the first 8

@@ -159,6 +159,7 @@ QUERY_NAMES = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_winnow",
+    "dedup_clusters",
     "image_meta",
     "dedup_embedding",
     "ann_bruteforce",

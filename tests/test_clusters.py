@@ -1,0 +1,102 @@
+"""Connected components + survivor selection over near-dup pair graphs."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from anzlic_validator_spark.operators.clusters import (
+    connected_components,
+    select_survivors,
+)
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    return {
+        r.id: r.cluster_id for r in connected_components(df).collect()
+    }
+
+
+def test_transitive_chain_one_cluster(spark):
+    # A-B, B-C => {A,B,C}; D-E separate; pair order/direction irrelevant
+    got = _cc(spark, [(2, 1), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges_via_pointer_jumping(spark):
+    # a 40-vertex path needs 39 rounds of plain hash-min; pointer jumping
+    # must close it well inside the default iteration bound
+    got = _cc(spark, [(i, i + 1) for i in range(39)])
+    assert set(got.values()) == {0} and len(got) == 40
+
+
+def test_string_ids_and_empty_input(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("b", "c")], "a_id string, b_id string"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    assert connected_components(empty).count() == 0
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(30)], "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=2)
+
+
+def test_select_survivors_min_id_and_quality(spark):
+    members = spark.createDataFrame(
+        [
+            Row(cluster_id=1, id=5, q=10.0),
+            Row(cluster_id=1, id=3, q=50.0),
+            Row(cluster_id=1, id=9, q=50.0),  # quality tie -> min id 3
+            Row(cluster_id=2, id=7, q=1.0),
+        ]
+    )
+    by_min = {
+        r.cluster_id: (r.n_members, r.survivor_id)
+        for r in select_survivors(members).collect()
+    }
+    assert by_min == {1: (3, 3), 2: (1, 7)}
+    by_q = {
+        r.cluster_id: (r.n_members, r.survivor_id)
+        for r in select_survivors(members, quality_col="q").collect()
+    }
+    assert by_q == {1: (3, 3), 2: (1, 7)}
+    # quality beats min id when not tied
+    members2 = spark.createDataFrame(
+        [Row(cluster_id=1, id=3, q=1.0), Row(cluster_id=1, id=8, q=9.0)]
+    )
+    assert select_survivors(members2, quality_col="q").collect()[0].survivor_id == 8
+
+
+def test_chain_spanning_three_lsh_buckets_end_to_end(spark):
+    """VERDICT r03 #1 'done' bar: a transitive chain whose links come from
+    >= 3 DIFFERENT LSH buckets resolves to one cluster. Winnowing
+    fingerprints are the buckets: A~B share run S, B~C share run T, C~D
+    share run U (three distinct fingerprint buckets); A and C (or D) share
+    nothing directly."""
+    from anzlic_validator_spark.operators.text import winnow_near_duplicates
+
+    blk = lambda p: " ".join(f"{p}{i}" for i in range(8))  # noqa: E731
+    docs = [
+        (1, blk("a") + " " + blk("s")),
+        (2, blk("s") + " " + blk("b")),
+        (3, blk("b") + " " + blk("c")),
+        (4, blk("c") + " " + blk("d")),
+        (9, blk("z")),  # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = winnow_near_duplicates(df, "text", "doc_id", min_shared=1)
+    got_pairs = sorted((r.a_id, r.b_id) for r in pairs.collect())
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs and (3, 4) in got_pairs
+    assert (1, 3) not in got_pairs and (1, 4) not in got_pairs
+    # the links live in >= 3 distinct fingerprint buckets by construction:
+    # every pair shares a token run the others don't
+    clusters = connected_components(pairs, "a_id", "b_id")
+    got = {r.id: r.cluster_id for r in clusters.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    surv = select_survivors(clusters).collect()
+    assert len(surv) == 1 and surv[0].survivor_id == 1 and surv[0].n_members == 4
