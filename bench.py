@@ -131,13 +131,18 @@ def bench_clips(spark, sf: float, warmup: int = 1, runs: int = 3, n_override: in
             walls.append(wall)
     walls.sort()
     med = walls[len(walls) // 2]
+    # min alongside median (VERDICT r03): this VM's ±30%/2x steal band makes
+    # the min the best steady-state estimate and the median the honest
+    # central tendency — report both, plus every sample
     return {
         "clips": n,
         "validated_rows": summary.get("rows", 0),
         "violations": summary.get("violations", 0),
         "wall_clock_s": round(med, 3),
+        "wall_clock_min_s": round(walls[0], 3),
         "wall_clock_all_s": [round(w, 3) for w in walls],
         "clips_per_sec": round(n / med, 1),
+        "clips_per_sec_best": round(n / walls[0], 1),
     }
 
 
@@ -171,8 +176,44 @@ QUERY_NAMES = [
 ]
 
 
-def main() -> int:
+def _clips_subprocess(sf: float) -> dict:
+    """Run the headline clips bench in its OWN fresh interpreter/JVM.
+
+    r03 post-mortem: running it last inside the suite's session — after 25
+    queries' persisted caches, GC pressure and page-cache churn — distorted
+    the headline 3x (driver-recorded 62.3 s vs 21.5 s in a fresh session on
+    identical code). A subprocess is the same isolation scripts/
+    scaling_bench.py already uses for the N-vs-4N evidence."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--clips-only"],
+        capture_output=True,
+        text=True,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"clips bench subprocess failed (rc={proc.returncode}):\n"
+        + proc.stderr[-2000:]
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
     sf = parse_sf(SF_DIR)
+    if "--clips-only" in argv:
+        spark = build_session(CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(bench_clips(spark, sf)))
+        spark.stop()
+        return 0
+
+    # headline clips bench FIRST, isolated in a fresh JVM (see _clips_subprocess)
+    clips_stats = _clips_subprocess(sf)
+
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as e
@@ -184,7 +225,6 @@ def main() -> int:
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    clips_stats = bench_clips(spark, sf)
     timings["clips_full_validation"] = clips_stats["wall_clock_s"]
 
     total = round(sum(timings.values()), 3)
