@@ -34,7 +34,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from anzlic_validator_spark.plans import demo, demo_ml  # noqa: E402
+from anzlic_validator_spark.plans import demo, demo_incremental, demo_ml  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": demo_ml.q_langid,
         "audio_violations": _audio_violations,
         "audio_verdict_summary": _audio_verdict_summary,
+        "stream_unique": demo_incremental.q_stream_unique,
+        "resume_buckets": demo_incremental.q_resume_buckets,
     }
 
 
@@ -255,4 +257,6 @@ def oracle_sql() -> dict[str, str]:
         "langid": demo_ml.SQL_LANGID,
         "audio_violations": SQL_AUDIO_VIOLATIONS,
         "audio_verdict_summary": SQL_AUDIO_VERDICT_SUMMARY,
+        "stream_unique": demo_incremental.SQL_STREAM_UNIQUE,
+        "resume_buckets": demo_incremental.SQL_RESUME_BUCKETS,
     }

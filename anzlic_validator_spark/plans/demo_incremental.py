@@ -1,0 +1,255 @@
+"""Driver-oracle queries for the two previously pytest-only families
+(VERDICT r03 #4/#5): streaming incremental validation (§2.8) and
+manifest-based resume (I1–I6).
+
+Both stage a deterministic fixture under a fresh temp dir, run the REAL
+surface (validate_stream / run_validation), and reduce the outputs to a
+closed-form-checkable contract — the same planted-census technique as
+SQL_AUDIO_VIOLATIONS. Input sizes are FIXED (correctness probes, not scale
+probes) so the oracles' range() arithmetic is SF-independent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ streaming
+
+# layout: 3 single-file epochs, 100 base keys each.
+#   epoch 0: a-0000..a-0099 (all fresh)
+#   epoch 1: b-**, except i%10==7 -> a-** again (cross-batch dup vs epoch 0);
+#            additionally i%20==3 rows appear TWICE (intra-batch dup)
+#   epoch 2: c-**, except i%10==7 -> a-** again (cross-batch dup, min epoch 0)
+# census: a-keys (i%10==7): 1 cross-batch row in epoch 1 + 1 in epoch 2 = 2;
+#         b-keys (i%20==3): both intra-batch occurrences flagged = 2.
+_N = 100
+
+
+def _epoch_keys(e: int) -> list[str]:
+    keys = []
+    for i in range(_N):
+        if e == 0:
+            k = f"a-{i:04d}"
+        elif i % 10 == 7:
+            k = f"a-{i:04d}"
+        else:
+            k = f"{'b' if e == 1 else 'c'}-{i:04d}"
+        keys.append(k)
+        if e == 1 and i % 20 == 3:
+            keys.append(k)  # intra-batch duplicate
+    return keys
+
+
+def q_stream_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross- and intra-batch uniqueness through the REAL streaming path:
+    three staged single-file epochs processed as three micro-batches
+    (maxFilesPerTrigger=1; file order pinned by distinct mtimes AND
+    lexicographic names), seen-key log carrying state across batches.
+    Returns (key, rule_id, n) aggregated over the epoch-partitioned
+    violations sink."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anzlic_validator_spark.rules import parse_catalog
+    from anzlic_validator_spark.streaming.incremental import validate_stream
+
+    base = tempfile.mkdtemp(prefix="sg_stream_unique_")
+    try:
+        inp = os.path.join(base, "in")
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        os.makedirs(inp)
+        schema = pa.schema(
+            [
+                ("clip_id", pa.string()),
+                ("bytes", pa.binary()),
+                ("sr_hz", pa.int32()),
+                ("dur_ms", pa.int32()),
+                ("codec", pa.string()),
+                ("transcript", pa.string()),
+            ]
+        )
+        now = time.time()
+        for e in range(3):
+            ks = _epoch_keys(e)
+            tbl = pa.table(
+                {
+                    "clip_id": ks,
+                    "bytes": [None] * len(ks),
+                    "sr_hz": [16000] * len(ks),
+                    "dur_ms": [500] * len(ks),
+                    "codec": ["wav"] * len(ks),
+                    "transcript": [f"t {k}" for k in ks],
+                },
+                schema=schema,
+            )
+            p = os.path.join(inp, f"epoch{e}.parquet")
+            pq.write_table(tbl, p)
+            ts = now - 600 + e * 120  # strictly increasing, well separated
+            os.utime(p, (ts, ts))
+        cat = parse_catalog(
+            {"rules": [{"id": "clip_id.unique", "type": "unique", "columns": ["clip_id"]}]}
+        )
+        q = validate_stream(
+            spark, inp, cat, out, ckpt, max_files_per_trigger=1
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_unique: availableNow run did not finish in 300s")
+        agg = (
+            spark.read.parquet(f"{out}/violations")
+            .groupBy("key", "rule_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = agg.collect()
+        # materialize before the temp dir disappears (the driver collects later)
+        return spark.createDataFrame(rows, "key string, rule_id string, n bigint")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_STREAM_UNIQUE = """
+WITH ids AS (SELECT CAST(r.range AS BIGINT) AS j FROM range(100) r)
+SELECT 'a-' || lpad(CAST(j AS VARCHAR), 4, '0') AS key,
+       'clip_id.unique.incorrect' AS rule_id, CAST(2 AS BIGINT) AS n
+FROM ids WHERE j % 10 = 7
+UNION ALL
+SELECT 'b-' || lpad(CAST(j AS VARCHAR), 4, '0'),
+       'clip_id.unique.incorrect', CAST(2 AS BIGINT)
+FROM ids WHERE j % 20 = 3
+"""
+
+
+# -------------------------------------------------------------- resume
+
+_RESUME_RULES = """\
+version: 1
+table: t
+rules:
+  - id: codec.in_set
+    type: in_set
+    column: codec
+    values: [wav, flac, pcm_s16le]
+"""
+_N_BASE = 520
+_N_BUCKETS = 8
+_N_EXTRA = 40  # appended to ONE bucket; first half get a bad codec
+
+
+def q_resume_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest resume (I1–I6) on the hard gate: full run over a
+    bucket-partitioned input, append rows to ONE bucket's dir (keys chosen
+    to hash to that bucket, honoring the layout contract), rerun — the
+    second run must revalidate exactly that bucket while every other
+    bucket's outputs survive intact. The contract row reduces to pending/
+    skipped counts plus output totals whose correctness REQUIRES the
+    untouched buckets' run-1 rows to still be present."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anzlic_validator_spark.run import (
+        bucket_col,
+        read_verdicts,
+        read_violations,
+        run_validation,
+    )
+
+    base = tempfile.mkdtemp(prefix="sg_resume_")
+    try:
+        inp = os.path.join(base, "in")
+        out = os.path.join(base, "out")
+        rules = os.path.join(base, "rules.yaml")
+        with open(rules, "w", encoding="utf-8") as fh:
+            fh.write(_RESUME_RULES)
+        rows = [
+            (
+                f"clip-{i:012d}",
+                "bogus" if i % 7 == 3 else "wav",
+                f"t {i}",
+            )
+            for i in range(_N_BASE)
+        ]
+        df = spark.createDataFrame(rows, "clip_id string, codec string, transcript string")
+        (
+            df.withColumn("bucket", bucket_col("clip_id", _N_BUCKETS))
+            .repartition(_N_BUCKETS, "bucket")
+            .write.partitionBy("bucket")
+            .parquet(inp)
+        )
+
+        def run():
+            return run_validation(
+                spark,
+                spark.read.parquet(inp).drop("bucket"),
+                catalog_path=rules,
+                output=out,
+                key_col="clip_id",
+                refs={},
+                n_buckets=_N_BUCKETS,
+                input_paths=[inp],
+            )
+
+        s1 = run()
+
+        # extras that hash to one fixed bucket (layout contract: bucket dir
+        # == key-hash bucket). Deterministic: xxhash64 is seedless-stable.
+        cand = spark.createDataFrame(
+            [(f"extra-{i:04d}",) for i in range(2000)], "clip_id string"
+        )
+        hashed = sorted(
+            (r.clip_id, r.b)
+            for r in cand.select(
+                "clip_id", bucket_col("clip_id", _N_BUCKETS).alias("b")
+            ).collect()
+        )
+        target = hashed[0][1]
+        picks = [k for k, b in hashed if b == target][:_N_EXTRA]
+        if len(picks) < _N_EXTRA:  # ~250 expected per bucket; never trips
+            raise RuntimeError("not enough extra keys hashed to the target bucket")
+        tbl = pa.table(
+            {
+                "clip_id": picks,
+                "codec": ["bogus" if i < _N_EXTRA // 2 else "flac" for i in range(_N_EXTRA)],
+                "transcript": [f"x {k}" for k in picks],
+            },
+            schema=pa.schema(
+                [("clip_id", pa.string()), ("codec", pa.string()), ("transcript", pa.string())]
+            ),
+        )
+        pq.write_table(tbl, os.path.join(inp, f"bucket={target}", "appended.parquet"))
+
+        s2 = run()
+        viol = read_violations(spark, out).count()
+        verd = read_verdicts(spark, out).count()
+        row = (
+            _N_BUCKETS,
+            len(s1["pending_buckets"]),
+            len(s2["pending_buckets"]),
+            len(s2["skipped_buckets"]),
+            int(viol),
+            int(verd),
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_buckets int, run1_pending int, run2_pending int, run2_skipped int,"
+            " violations_total bigint, verdict_keys bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_RESUME_BUCKETS = """
+SELECT CAST(8 AS INT) AS n_buckets,
+       CAST(8 AS INT) AS run1_pending,
+       CAST(1 AS INT) AS run2_pending,
+       CAST(7 AS INT) AS run2_skipped,
+       CAST((SELECT count(*) FROM range(520) r WHERE r.range % 7 = 3) + 20 AS BIGINT)
+         AS violations_total,
+       CAST(560 AS BIGINT) AS verdict_keys
+"""

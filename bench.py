@@ -173,6 +173,8 @@ QUERY_NAMES = [
     "embedding_norms",
     "quality",
     "langid",
+    "stream_unique",
+    "resume_buckets",
 ]
 
 
