@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": demo_ml.q_ann_ivf,
         "embedding_norms": demo_ml.q_embedding_norms,
         "quality": demo_ml.q_quality,
+        "quality_rep": demo_ml.q_quality_rep,
         "langid": demo_ml.q_langid,
         "audio_violations": _audio_violations,
         "audio_verdict_summary": _audio_verdict_summary,
@@ -254,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": demo_ml.SQL_ANN_IVF,
         "embedding_norms": demo_ml.SQL_EMBEDDING_NORMS,
         "quality": demo_ml.SQL_QUALITY,
+        "quality_rep": demo_ml.SQL_QUALITY_REP,
         "langid": demo_ml.SQL_LANGID,
         "audio_violations": SQL_AUDIO_VIOLATIONS,
         "audio_verdict_summary": SQL_AUDIO_VERDICT_SUMMARY,

@@ -167,6 +167,94 @@ def winnow_near_duplicates(
     )
 
 
+def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document — the filters
+    a pretraining pipeline runs next to langid (Rae et al. 2021 §A1.1):
+
+    (id, dup_line_frac, dup_2gram_frac, dup_3gram_frac, top_2gram_share,
+     char_entropy)
+
+    - dup_line_frac: fraction of newline-separated lines that repeat an
+      earlier line (1 - distinct/total).
+    - dup_{2,3}gram_frac: same over token n-grams (whitespace tokens, so a
+      multi-line doc tokenizes across line breaks consistently).
+    - top_2gram_share: occurrence share of the single most frequent bigram.
+    - char_entropy: Shannon entropy (bits) of the character distribution —
+      boilerplate/degenerate docs sit far below natural text (~4.1 for
+      English).
+
+    Pure Catalyst: every array (tokens, lines, chars, gram lists) is
+    materialized as its own projection BEFORE the counting lambdas reference
+    it (the no-CSE rule — an inline split inside a lambda re-evaluates per
+    element). Per-row cost is O(distinct · total) array scans in codegen —
+    no shuffle, no Python.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.split(t, r"\s+").alias("__toks"),
+        F.split(t, "\n").alias("__lines"),
+        # (?s). matches every char including newlines; split(text, "") has
+        # engine-dependent boundary behavior, this is oracle-reproducible
+        F.regexp_extract_all(t, F.lit("(?s)."), 0).alias("__chars"),
+    )
+
+    def grams(n: int) -> Column:
+        toks = F.col("__toks")
+        nn = F.size(toks)
+        return F.when(
+            nn >= n,
+            F.transform(
+                F.sequence(F.lit(1), nn - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    g = base.select(
+        F.col(id_col), "__lines", "__chars", grams(2).alias("__g2"), grams(3).alias("__g3")
+    )
+
+    def dup_frac(col: Column) -> Column:
+        n = F.size(col)
+        return F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct(col)).cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    g2 = F.col("__g2")
+    top2 = F.when(
+        F.size(g2) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(g2), lambda x: F.size(F.filter(g2, lambda y: y == x))
+            )
+        ).cast("double")
+        / F.size(g2).cast("double"),
+    ).otherwise(F.lit(0.0))
+    chars = F.col("__chars")
+    n_chars = F.size(chars).cast("double")  # array-length lookup: cheap per ref
+    p = lambda c: c.cast("double") / n_chars  # noqa: E731
+    entropy = F.when(
+        F.size(chars) > 0,
+        -F.aggregate(
+            F.transform(
+                F.array_distinct(chars),
+                lambda x: F.size(F.filter(chars, lambda y: y == x)),
+            ),
+            F.lit(0.0),
+            lambda acc, c: acc + p(c) * F.log2(p(c)),
+        ),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        F.col(id_col),
+        F.round(dup_frac(F.col("__lines")), 4).alias("dup_line_frac"),
+        F.round(dup_frac(g2), 4).alias("dup_2gram_frac"),
+        F.round(dup_frac(F.col("__g3")), 4).alias("dup_3gram_frac"),
+        F.round(top2, 4).alias("top_2gram_share"),
+        F.round(entropy, 4).alias("char_entropy"),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features → one row per doc.
 

@@ -381,14 +381,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf = ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=10)
     bf = brute_force_topk(emb, queries, k=5)
-    return _recall_contract(bf, ivf, k=5, min_r=0.4, mean_r=0.7)
+    # thresholds tightened r04 (VERDICT #6): measured recall at sf0.01 is
+    # min 0.80 / mean 0.96 across centroid/probe settings, so 0.6/0.85
+    # detects a real probe regression while leaving seeding-layout margin
+    return _recall_contract(bf, ivf, k=5, min_r=0.6, mean_r=0.85)
 
 
 SQL_ANN_IVF = """
 SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
        CAST(5 AS INT) AS k,
-       CAST(0.4 AS DOUBLE) AS min_recall_threshold,
-       CAST(0.7 AS DOUBLE) AS mean_recall_threshold,
+       CAST(0.6 AS DOUBLE) AS min_recall_threshold,
+       CAST(0.85 AS DOUBLE) AS mean_recall_threshold,
        true AS recall_ok
 """
 
@@ -467,6 +470,77 @@ SELECT doc_id,
        round(chars::DOUBLE / n_tokens, 4) AS avg_tok_len,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
 FROM t
+"""
+
+
+def q_quality_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 repetition metrics over a MULTILINE rendering of the docs
+    table: tokens regrouped into 2-token lines ('\\n'-joined) so short lines
+    genuinely collide (~25-word vocab² = 625 combos → a real mix of zero and
+    nonzero dup_line_frac across docs); n-gram and entropy metrics run over
+    the same constructed text. Construction is replicated verbatim in the
+    oracle."""
+    from anzlic_validator_spark.operators.text import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("__t")
+    )
+    toks = F.col("__t")
+    lines = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(toks) / F.lit(2.0)).cast("int")),
+        lambda i: F.array_join(F.slice(toks, (i - F.lit(1)) * 2 + 1, 2), " "),
+    )
+    ml = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return repetition_features(ml, "text", "doc_id")
+
+
+SQL_QUALITY_REP = """
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ml AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(1, CAST(ceil(len(t) / 2.0) AS INT) + 1),
+        i -> array_to_string(t[(i-1)*2+1:(i-1)*2+2], ' ')),
+      chr(10)) AS text
+  FROM t0
+),
+b AS (
+  SELECT doc_id,
+    regexp_split_to_array(text, '\\s+') AS toks,
+    string_split(text, chr(10)) AS lines,
+    regexp_extract_all(text, '(?s).') AS cs
+  FROM ml
+),
+g AS (
+  SELECT doc_id, lines, cs,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+    ELSE [] END AS g2,
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+    ELSE [] END AS g3
+  FROM b
+)
+SELECT doc_id,
+  round(CASE WHEN len(lines) > 0
+        THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) ELSE 0.0 END, 4)
+    AS dup_line_frac,
+  round(CASE WHEN len(g2) > 0
+        THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0.0 END, 4)
+    AS dup_2gram_frac,
+  round(CASE WHEN len(g3) > 0
+        THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0.0 END, 4)
+    AS dup_3gram_frac,
+  round(CASE WHEN len(g2) > 0 THEN
+    list_max(list_transform(list_distinct(g2),
+      x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2)
+  ELSE 0.0 END, 4) AS top_2gram_share,
+  round(CASE WHEN len(cs) > 0 THEN
+    -list_sum(list_transform(list_distinct(cs),
+      x -> (len(list_filter(cs, y -> y = x))::DOUBLE / len(cs))
+           * log2(len(list_filter(cs, y -> y = x))::DOUBLE / len(cs))))
+  ELSE 0.0 END, 4) AS char_entropy
+FROM g
 """
 
 

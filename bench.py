@@ -172,6 +172,7 @@ QUERY_NAMES = [
     "ann_ivf",
     "embedding_norms",
     "quality",
+    "quality_rep",
     "langid",
     "stream_unique",
     "resume_buckets",

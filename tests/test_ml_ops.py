@@ -302,6 +302,31 @@ def test_lsh_capped_incremental_expansion_matches_self_join(spark):
         assert len(out) == 1 and out[0].n_shared == 2
 
 
+def test_repetition_features(spark):
+    """Gopher/C4 repetition metrics, hand-computed fixture."""
+    import math
+
+    from anzlic_validator_spark.operators.text import repetition_features
+
+    rows = [(1, "a b\na b\nc d"), (2, "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_features(df, "text", "doc_id").collect()}
+    r1 = out[1]
+    assert r1.dup_line_frac == round(1 - 2 / 3, 4)  # lines: [a b, a b, c d]
+    # tokens a,b,a,b,c,d -> bigrams [a b, b a, a b, b c, c d]: 4 distinct of 5
+    assert r1.dup_2gram_frac == round(1 - 4 / 5, 4)
+    assert r1.top_2gram_share == 0.4  # 'a b' twice of 5
+    assert r1.dup_3gram_frac == 0.0  # all four trigrams distinct
+    cs = list("a b\na b\nc d")
+    n = len(cs)
+    ent = -sum((cs.count(c) / n) * math.log2(cs.count(c) / n) for c in set(cs))
+    assert abs(r1.char_entropy - ent) < 1e-3
+    r2 = out[2]
+    assert (r2.dup_line_frac, r2.dup_2gram_frac, r2.dup_3gram_frac) == (0.0, 0.0, 0.0)
+    assert r2.top_2gram_share == 1.0  # single bigram 'x y'
+    assert abs(r2.char_entropy - 1.5849) < 1e-3  # 3 chars, uniform
+
+
 def test_winnow_fingerprints_and_near_dups(spark):
     """Winnowing (MOSS): shared token runs >= w+k-1 guarantee a shared
     fingerprint; unrelated docs share none; short docs degrade to a single
