@@ -283,7 +283,13 @@ class FlacError(ValueError):
 
 
 def _rice_decode(
-    bits: np.ndarray, ones_all: np.ndarray, cum: np.ndarray, pos: int, n: int, k: int
+    bits: np.ndarray,
+    ones_all: np.ndarray,
+    cum: np.ndarray,
+    pos: int,
+    n: int,
+    k: int,
+    data_u8: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int]:
     """Decode n rice(k) codes starting at bit ``pos``; returns (residuals,
     next bit position). Vectorized via pointer-jumping over set-bit indices:
@@ -363,12 +369,29 @@ def _rice_decode(
     if np.any(q < 0):
         raise FlacError("corrupt rice code")
     if k:
-        cols = np.arange(k, dtype=np.int64)
-        idx = t[:, None] + 1 + cols[None, :]
-        if int(idx[-1, -1]) >= len(bits):
+        p0 = t + 1  # first payload bit of each code
+        if int(p0[-1]) + k > len(bits):
             raise FlacError("rice stream exhausted")
-        vals = np.take(bits, idx, mode="clip")  # range checked above
-        if k <= 16:
+        if k <= 16 and data_u8 is not None:
+            # payload via a 3-byte big-endian window gathered from the RAW
+            # bytes: 3 gathers of n elements instead of an (n, k) bit gather
+            # + packbits — measured ~4x faster at k=12. A payload of k<=16
+            # bits at any bit offset (0..7) spans <= 23 bits, so 3 bytes
+            # always cover it; trailing byte indices are clipped, and a
+            # clipped byte's bits are provably discarded by the shift
+            # (off+k<=16 whenever byte0+2 is past the payload end).
+            byte0 = p0 >> 3
+            off = (p0 & 7).astype(np.int32)
+            nb = len(data_u8)
+            b0 = data_u8[byte0].astype(np.int32)
+            b1 = data_u8[np.minimum(byte0 + 1, nb - 1)].astype(np.int32)
+            b2 = data_u8[np.minimum(byte0 + 2, nb - 1)].astype(np.int32)
+            word = (b0 << 16) | (b1 << 8) | b2
+            r = (word >> (24 - k - off)) & ((1 << k) - 1)
+        elif k <= 16:
+            cols = np.arange(k, dtype=np.int64)
+            idx = p0[:, None] + cols[None, :]
+            vals = np.take(bits, idx, mode="clip")  # range checked above
             # MSB-first payload via packbits — C bit packing, no (n, k)
             # int64 temp, no integer matmul
             packed = np.packbits(vals, axis=1)
@@ -379,6 +402,9 @@ def _rice_decode(
                     packed[:, 1] >> (16 - k)
                 )
         else:  # foreign 5-bit-parameter streams with k>16: generic fold
+            cols = np.arange(k, dtype=np.int64)
+            idx = p0[:, None] + cols[None, :]
+            vals = np.take(bits, idx, mode="clip")  # range checked above
             r = vals.astype(np.int64) @ (1 << np.arange(k - 1, -1, -1, dtype=np.int64))
         end = int(t[-1]) + 1 + k
     else:
@@ -460,7 +486,8 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     if channels != 1 or bps != 16:
         raise FlacError(f"unsupported layout: channels={channels} bps={bps}")
 
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    data_u8 = np.frombuffer(data, dtype=np.uint8)
+    bits = np.unpackbits(data_u8)
     # bool view: numpy's nonzero has a specialized bool path ~1.8x faster
     # than uint8 (bits holds only 0/1, so the view is exact)
     ones_all = np.flatnonzero(bits.view(np.bool_))  # once per stream
@@ -546,7 +573,7 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
                 if k == (1 << pbits) - 1:
                     raise FlacError("rice escape codes unsupported")
                 cnt = bs // nparts - (order if p == 0 else 0)
-                part, rpos = _rice_decode(bits, ones_all, cum, pr.pos, cnt, k)
+                part, rpos = _rice_decode(bits, ones_all, cum, pr.pos, cnt, k, data_u8)
                 res_parts.append(part)
             br.pos = rpos
             res = np.concatenate(res_parts) if res_parts else np.zeros(0, np.int64)
