@@ -138,7 +138,10 @@ def select_survivors(
     ``quality_col=None``: survivor = min id (the ``exact_duplicates``
     canonical_id convention). With a NUMERIC ``quality_col``: survivor =
     highest quality, ties broken by min id — e.g. keep the longest document
-    of a near-dup cluster. One map-side-combined groupBy; no window, no
+    of a near-dup cluster. NULL qualities rank BELOW every real quality
+    (struct-min would otherwise rank a NULL negated quality smallest and
+    crown the degenerate member); a cluster whose members are all NULL
+    falls back to min id. One map-side-combined groupBy; no window, no
     second shuffle.
     """
     if quality_col is None:
@@ -147,7 +150,12 @@ def select_survivors(
             F.min(id_col).alias("survivor_id"),
         )
     best = F.min(
-        F.struct((-F.col(quality_col)).alias("__nq"), F.col(id_col).alias("__sid"))
+        F.struct(
+            F.coalesce(
+                (-F.col(quality_col)).cast("double"), F.lit(float("inf"))
+            ).alias("__nq"),
+            F.col(id_col).alias("__sid"),
+        )
     )
     return (
         members.groupBy(cluster_col)

@@ -57,7 +57,9 @@ FROM corpus GROUP BY text HAVING count(*) > 1
 def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ")
-    truncated = F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ")
+    # greatest(...,0): a <2-token doc must yield an empty slice, not a
+    # negative-length error (and DuckDB's t[1:-1] would silently diverge)
+    truncated = F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))), " ")
     copies = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), truncated.alias("text")
     )
@@ -80,7 +82,7 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000,
-         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ')
+         array_to_string(string_split(text,' ')[1:greatest(len(string_split(text,' '))-2, 0)], ' ')
   FROM documents WHERE doc_id % 10 = 0
 ),
 sh AS (
@@ -120,7 +122,7 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000,
-         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ')
+         array_to_string(string_split(text,' ')[1:greatest(len(string_split(text,' '))-2, 0)], ' ')
   FROM documents WHERE doc_id % 10 = 0
 ),
 toks AS (SELECT doc_id, string_split(text,' ') AS t FROM corpus),
@@ -151,7 +153,7 @@ def _corpus_with_chained_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the chain case cluster resolution exists for."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ")
-    tail = F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ")
+    tail = F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))), " ")
     head = F.array_join(F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))), " ")
     c_tail = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), tail.alias("text")
@@ -194,7 +196,7 @@ WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000,
-         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ')
+         array_to_string(string_split(text,' ')[1:greatest(len(string_split(text,' '))-2, 0)], ' ')
   FROM documents WHERE doc_id % 10 = 0
   UNION ALL
   SELECT doc_id + 200000,
@@ -254,7 +256,7 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000,
-         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ')
+         array_to_string(string_split(text,' ')[1:greatest(len(string_split(text,' '))-2, 0)], ' ')
   FROM documents WHERE doc_id % 10 = 0
 ),
 tok AS (  -- per-occurrence tokens (duplicates vote repeatedly, as the kernel does)

@@ -179,7 +179,7 @@ QUERY_NAMES = [
 ]
 
 
-def _clips_subprocess(sf: float) -> dict:
+def _clips_subprocess() -> dict:
     """Run the headline clips bench in its OWN fresh interpreter/JVM.
 
     r03 post-mortem: running it last inside the suite's session — after 25
@@ -193,6 +193,7 @@ def _clips_subprocess(sf: float) -> dict:
         [sys.executable, os.path.abspath(__file__), "--clips-only"],
         capture_output=True,
         text=True,
+        timeout=3600,  # a hung child JVM must not wedge the whole bench
     )
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
@@ -214,8 +215,9 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
 
-    # headline clips bench FIRST, isolated in a fresh JVM (see _clips_subprocess)
-    clips_stats = _clips_subprocess(sf)
+    # headline clips bench FIRST, isolated in a fresh JVM (see _clips_subprocess;
+    # the child reads the same SPARK_GRAFT_* env, so sf/cpus match this process)
+    clips_stats = _clips_subprocess()
 
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")

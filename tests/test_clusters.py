@@ -70,6 +70,44 @@ def test_select_survivors_min_id_and_quality(spark):
         [Row(cluster_id=1, id=3, q=1.0), Row(cluster_id=1, id=8, q=9.0)]
     )
     assert select_survivors(members2, quality_col="q").collect()[0].survivor_id == 8
+    # NULL quality must rank BELOW every real quality (review r04), and an
+    # all-NULL cluster falls back to min id
+    members3 = spark.createDataFrame(
+        [
+            Row(cluster_id=1, id=5, q=None),
+            Row(cluster_id=1, id=9, q=2.0),
+            Row(cluster_id=2, id=7, q=None),
+            Row(cluster_id=2, id=4, q=None),
+        ],
+        "cluster_id long, id long, q double",
+    )
+    by = {
+        r.cluster_id: r.survivor_id
+        for r in select_survivors(members3, quality_col="q").collect()
+    }
+    assert by == {1: 9, 2: 4}
+
+
+def test_chained_dup_corpus_handles_short_docs(spark, tmp_path):
+    """Review r04: sub-2-token docs must yield empty truncation slices, not
+    a negative-length slice error — end-to-end through q_dedup_clusters."""
+    docs = spark.createDataFrame(
+        [
+            (0, "solo"),                       # 1 token, %20==0: tail+head copies
+            (10, "two tokens"),                # 2 tokens, %10==0: tail copy
+            (20, "one two three four five six seven eight nine ten"),
+            (21, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from anzlic_validator_spark.plans.demo_ml import q_dedup_clusters
+
+    out = q_dedup_clusters(spark, str(tmp_path))
+    rows = {r.cluster_id: (r.n_members, r.survivor_id) for r in out.collect()}
+    # doc 20's tail/head copies cluster with it; survivor = the original
+    # (longest); the degenerate short docs crash nothing and pair nothing
+    assert any(n >= 2 and s == 20 for n, s in rows.values())
 
 
 def test_chain_spanning_three_lsh_buckets_end_to_end(spark):
