@@ -162,3 +162,37 @@ def select_survivors(
         .agg(F.count(F.lit(1)).alias("n_members"), best.alias("__b"))
         .select(cluster_col, "n_members", F.col("__b.__sid").alias("survivor_id"))
     )
+
+
+def deduplicate(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """End-to-end keep-one dedup: drop every row of ``df`` that belongs to a
+    near-dup cluster but is not its survivor. Composes
+    ``connected_components`` + ``select_survivors``; rows never appearing in
+    ``pairs`` pass through untouched (their trivial cluster is themselves).
+
+    ``quality_col``: a numeric column of ``df`` ranking survivors (see
+    select_survivors); None keeps the min id.
+
+    Scale shape: the component iteration runs over the O(V) pair-vertex set
+    only; the final step is one left-anti join of ``df`` against the
+    non-survivor id list — broadcast by AQE when duplicates are scarce (the
+    common case), shuffle-hash otherwise. The document payload crosses no
+    other shuffle.
+    """
+    clusters = connected_components(pairs, a_col, b_col)
+    members = clusters.join(
+        df.select(F.col(id_col).alias("id"), *([quality_col] if quality_col else [])),
+        "id",
+    )
+    surv = select_survivors(members, quality_col=quality_col)
+    losers = members.join(
+        surv.select(F.col("survivor_id").alias("id")), "id", "left_anti"
+    ).select("id")
+    return df.join(losers.withColumnRenamed("id", id_col), id_col, "left_anti")

@@ -88,6 +88,31 @@ def test_select_survivors_min_id_and_quality(spark):
     assert by == {1: 9, 2: 4}
 
 
+def test_deduplicate_keep_one(spark):
+    from anzlic_validator_spark.operators.clusters import deduplicate
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaa", q=4.0),
+            Row(doc_id=2, text="aaa", q=3.0),
+            Row(doc_id=3, text="aa", q=2.0),   # chain 1-2-3: keep q-max = 1
+            Row(doc_id=7, text="zz", q=1.0),    # untouched singleton
+            Row(doc_id=8, text="yy", q=None),   # untouched singleton
+        ]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id long, b_id long")
+    kept = sorted(
+        r.doc_id for r in deduplicate(df, pairs, "doc_id", quality_col="q").collect()
+    )
+    assert kept == [1, 7, 8]
+    # min-id policy without quality
+    kept2 = sorted(r.doc_id for r in deduplicate(df, pairs, "doc_id").collect())
+    assert kept2 == [1, 7, 8]
+    # empty pair set -> identity
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    assert deduplicate(df, empty, "doc_id").count() == 5
+
+
 def test_chained_dup_corpus_handles_short_docs(spark, tmp_path):
     """Review r04: sub-2-token docs must yield empty truncation slices, not
     a negative-length slice error — end-to-end through q_dedup_clusters."""
