@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_violations": _audio_violations,
         "audio_verdict_summary": _audio_verdict_summary,
         "stream_unique": demo_incremental.q_stream_unique,
+        "stream_unique_state": demo_incremental.q_stream_unique_state,
         "resume_buckets": demo_incremental.q_resume_buckets,
     }
 
@@ -260,5 +261,6 @@ def oracle_sql() -> dict[str, str]:
         "audio_violations": SQL_AUDIO_VIOLATIONS,
         "audio_verdict_summary": SQL_AUDIO_VERDICT_SUMMARY,
         "stream_unique": demo_incremental.SQL_STREAM_UNIQUE,
+        "stream_unique_state": demo_incremental.SQL_STREAM_UNIQUE_STATE,
         "resume_buckets": demo_incremental.SQL_RESUME_BUCKETS,
     }

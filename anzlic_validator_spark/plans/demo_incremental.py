@@ -46,6 +46,44 @@ def _epoch_keys(e: int) -> list[str]:
     return keys
 
 
+def _stage_epochs(inp: str) -> None:
+    """Write the 3 single-file epochs (one parquet FILE each, CLIPS-shaped,
+    bytes NULL) with strictly increasing mtimes so the file stream's batch
+    order is pinned."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(inp, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("clip_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("sr_hz", pa.int32()),
+            ("dur_ms", pa.int32()),
+            ("codec", pa.string()),
+            ("transcript", pa.string()),
+        ]
+    )
+    now = time.time()
+    for e in range(3):
+        ks = _epoch_keys(e)
+        tbl = pa.table(
+            {
+                "clip_id": ks,
+                "bytes": [None] * len(ks),
+                "sr_hz": [16000] * len(ks),
+                "dur_ms": [500] * len(ks),
+                "codec": ["wav"] * len(ks),
+                "transcript": [f"t {k}" for k in ks],
+            },
+            schema=schema,
+        )
+        p = os.path.join(inp, f"epoch{e}.parquet")
+        pq.write_table(tbl, p)
+        ts = now - 600 + e * 120  # strictly increasing, well separated
+        os.utime(p, (ts, ts))
+
+
 def q_stream_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross- and intra-batch uniqueness through the REAL streaming path:
     three staged single-file epochs processed as three micro-batches
@@ -53,9 +91,6 @@ def q_stream_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic names), seen-key log carrying state across batches.
     Returns (key, rule_id, n) aggregated over the epoch-partitioned
     violations sink."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from anzlic_validator_spark.rules import parse_catalog
     from anzlic_validator_spark.streaming.incremental import validate_stream
 
@@ -64,35 +99,7 @@ def q_stream_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         inp = os.path.join(base, "in")
         out = os.path.join(base, "out")
         ckpt = os.path.join(base, "ckpt")
-        os.makedirs(inp)
-        schema = pa.schema(
-            [
-                ("clip_id", pa.string()),
-                ("bytes", pa.binary()),
-                ("sr_hz", pa.int32()),
-                ("dur_ms", pa.int32()),
-                ("codec", pa.string()),
-                ("transcript", pa.string()),
-            ]
-        )
-        now = time.time()
-        for e in range(3):
-            ks = _epoch_keys(e)
-            tbl = pa.table(
-                {
-                    "clip_id": ks,
-                    "bytes": [None] * len(ks),
-                    "sr_hz": [16000] * len(ks),
-                    "dur_ms": [500] * len(ks),
-                    "codec": ["wav"] * len(ks),
-                    "transcript": [f"t {k}" for k in ks],
-                },
-                schema=schema,
-            )
-            p = os.path.join(inp, f"epoch{e}.parquet")
-            pq.write_table(tbl, p)
-            ts = now - 600 + e * 120  # strictly increasing, well separated
-            os.utime(p, (ts, ts))
+        _stage_epochs(inp)
         cat = parse_catalog(
             {"rules": [{"id": "clip_id.unique", "type": "unique", "columns": ["clip_id"]}]}
         )
@@ -122,6 +129,63 @@ FROM ids WHERE j % 10 = 7
 UNION ALL
 SELECT 'b-' || lpad(CAST(j AS VARCHAR), 4, '0'),
        'clip_id.unique.incorrect', CAST(2 AS BIGINT)
+FROM ids WHERE j % 20 = 3
+"""
+
+
+def q_stream_unique_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATE-STORE streaming shape on the gate: the same 3-epoch input
+    run through ``stateful_unique_stream`` (applyInPandasWithState,
+    checkpointed per-key counts — the unbounded-stream alternative to the
+    seen-keys log). The aggregate contract is batch-split-INDEPENDENT: a
+    key occurring m times total yields exactly m-1 flagged occurrences no
+    matter how the file source batches them, so the oracle is pure census
+    arithmetic. Census: a-keys (i%10==7) occur in all 3 epochs → n=2;
+    b-keys (i%20==3) occur twice in epoch 1 → n=1."""
+    from anzlic_validator_spark.rules import Rule
+    from anzlic_validator_spark.schema import CLIPS_SCHEMA
+    from anzlic_validator_spark.streaming.incremental import stateful_unique_stream
+
+    base = tempfile.mkdtemp(prefix="sg_stream_state_")
+    try:
+        inp = os.path.join(base, "in")
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        _stage_epochs(inp)
+        rule = Rule("clip_id.unique", "unique", 1, {"columns": ["clip_id"]})
+        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(inp)
+        q = (
+            stateful_unique_stream(stream, rule, "clip_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_unique_state: availableNow run did not finish in 300s"
+            )
+        agg = (
+            spark.read.parquet(out)
+            .groupBy("key", "rule_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, "key string, rule_id string, n bigint")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_STREAM_UNIQUE_STATE = """
+WITH ids AS (SELECT CAST(r.range AS BIGINT) AS j FROM range(100) r)
+SELECT 'a-' || lpad(CAST(j AS VARCHAR), 4, '0') AS key,
+       'clip_id.unique.incorrect' AS rule_id, CAST(2 AS BIGINT) AS n
+FROM ids WHERE j % 10 = 7
+UNION ALL
+SELECT 'b-' || lpad(CAST(j AS VARCHAR), 4, '0'),
+       'clip_id.unique.incorrect', CAST(1 AS BIGINT)
 FROM ids WHERE j % 20 = 3
 """
 

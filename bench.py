@@ -175,6 +175,7 @@ QUERY_NAMES = [
     "quality_rep",
     "langid",
     "stream_unique",
+    "stream_unique_state",
     "resume_buckets",
 ]
 
