@@ -1,0 +1,142 @@
+"""Audio content deduplication — the audio-payload twin of the text dedup
+family (graft cell: pyspark × audio).
+
+A speech-training corpus accumulates the SAME recording under different
+containers/codecs (pcm vs wav vs flac re-encodes) and as slightly-degraded
+copies (resampled, noise-floored). Byte-level dedup misses every one of
+them; these operators dedup by DECODED CONTENT:
+
+- ``audio_fingerprints``: Arrow pandas UDF decoding each clip (the same
+  codec dispatch as the validation rules, functions/audio.decode) and
+  emitting (a) an EXACT content fingerprint — md5 of the canonical s16 PCM,
+  identical across any lossless codec of the same signal — and (b) a
+  64-bit PERCEPTUAL hash (Haitsma-Kalker-style band-energy-delta signs,
+  majority-voted over frames) that survives small additive noise.
+- ``audio_exact_duplicates``: groupBy on the content fingerprint →
+  (canonical_key, n_clips) per duplicate group — one map-side-combined
+  shuffle of ~50-byte rows, the ``exact_duplicates`` shape.
+- ``audio_near_duplicates``: Hamming-radius pairs over the perceptual hash
+  via the same pigeonhole sub-key LSH as SimHash (``hamming_lsh_pairs``)
+  — bounded buckets, one shuffle, exact Hamming verify.
+
+Reference analog: the duplicate-field sweep (testing-dublin-core.py:72-83),
+lifted from metadata equality to decoded-payload equality.
+
+Scale notes: decode runs once per clip inside the Arrow UDF (the binary
+never shuffles); everything downstream moves only (key, 16-byte md5,
+8-byte hash) rows. At 10^12 clips the fingerprint groupBy is the one
+shuffle and is trivially partial-aggregated.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anzlic_validator_spark.functions.audio import _to_s16, decode
+
+_FRAME = 1024
+_HOP = 512
+_N_BANDS = 65  # 65 band energies -> 64 delta-sign bits
+
+
+def _phash64(pcm: np.ndarray, sr: int) -> int:
+    """64-bit perceptual hash: Hann-windowed 1024-sample frames (hop 512),
+    rfft power folded into 65 geometrically-spaced bands across
+    [sr/256, sr/2.56] (≈ [62 Hz, 6.25 kHz] at 16 kHz — the speech band),
+    bit b = majority vote over frames of sign(E[b] − E[b+1]). Deterministic
+    pure numpy; robust to low-level additive noise because band-energy
+    ORDER, not magnitude, is hashed."""
+    x = np.asarray(pcm, dtype=np.float64)
+    if len(x) < _FRAME:
+        x = np.pad(x, (0, _FRAME - len(x)))
+    frames = np.lib.stride_tricks.sliding_window_view(x, _FRAME)[::_HOP]
+    win = np.hanning(_FRAME)
+    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2  # (n_frames, 513)
+    f_lo, f_hi = sr / 256.0, sr / 2.56
+    edges = np.geomspace(f_lo, f_hi, _N_BANDS + 1)
+    bins = np.clip((edges / (sr / 2.0) * (spec.shape[1] - 1)).astype(np.int64), 0, spec.shape[1] - 1)
+    # band energy = inclusive-prefix-sum difference over the bin axis
+    cs = np.concatenate([np.zeros((spec.shape[0], 1)), np.cumsum(spec, axis=1)], axis=1)
+    e = cs[:, bins[1:]] - cs[:, bins[:-1]]  # (n_frames, 65)
+    d = e[:, :-1] - e[:, 1:]  # (n_frames, 64)
+    bits = (np.median(d, axis=0) > 0).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+) -> DataFrame:
+    """→ (key, content_fp, phash, err): decode each clip once and emit the
+    exact content fingerprint (md5 hex of canonical s16 PCM) and the
+    perceptual hash; undecodable clips carry err and NULL fingerprints —
+    a violation for the rule catalog, never a task failure."""
+
+    @F.pandas_udf("content_fp string, phash long, err string")
+    def fp(b: pd.Series, codec: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        out = {"content_fp": [], "phash": [], "err": []}
+        for bb, cc, ss in zip(b, codec, sr):
+            pcm, sr_emb, err = decode(bb, cc)
+            if err is not None or pcm is None:
+                out["content_fp"].append(None)
+                out["phash"].append(None)
+                out["err"].append(err or "decode failed")
+                continue
+            s16 = _to_s16(pcm)
+            rate = int(sr_emb or (ss if ss is not None else 16000))
+            out["content_fp"].append(hashlib.md5(s16.tobytes()).hexdigest())
+            # view as int64 (phash is a uint64 bit pattern; Spark long)
+            out["phash"].append(
+                int(np.uint64(_phash64(s16.astype(np.float64) / 32767.0, rate)).view(np.int64))
+            )
+            out["err"].append(None)
+        return pd.DataFrame(out)
+
+    return df.select(
+        F.col(key_col).alias("key"),
+        fp(F.col(bytes_col), F.col(codec_col), F.col(sr_col)).alias("__fp"),
+    ).select("key", "__fp.content_fp", "__fp.phash", "__fp.err")
+
+
+def audio_exact_duplicates(fps: DataFrame) -> DataFrame:
+    """Duplicate-content groups → (canonical_key, n_clips), n_clips > 1.
+    canonical_key = min key (the survivor). Decode failures (NULL
+    fingerprint) never group."""
+    return (
+        fps.where(F.col("content_fp").isNotNull())
+        .groupBy("content_fp")
+        .agg(F.count(F.lit(1)).alias("n_clips"), F.min("key").alias("canonical_key"))
+        .where(F.col("n_clips") > 1)
+        .select("canonical_key", "n_clips")
+    )
+
+
+def audio_near_duplicates(
+    fps: DataFrame,
+    max_hamming: int = 6,
+    n_tables: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Perceptual near-dup pairs → (a_key, b_key, hamming), a_key < b_key,
+    Hamming(phash) <= max_hamming. Same pigeonhole sub-key LSH as SimHash
+    (n_tables > max_hamming ⇒ candidate recall is exact)."""
+    from anzlic_validator_spark.operators.dedup import hamming_lsh_pairs
+
+    sigs = fps.where(F.col("phash").isNotNull()).select(
+        F.col("key").alias("id"), F.col("phash").alias("sig")
+    )
+    return hamming_lsh_pairs(
+        sigs, max_hamming=max_hamming, n_tables=n_tables,
+        max_bucket_size=max_bucket_size, what="audio_phash_lsh",
+    ).select(
+        F.col("a_id").alias("a_key"), F.col("b_id").alias("b_key"), "hamming"
+    )

@@ -519,6 +519,27 @@ def simhash_near_duplicates(
     concentrate mass in a few buckets (near-empty docs, boilerplate), which
     is exactly what the cap handles.
     """
+    base = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
+    return hamming_lsh_pairs(
+        base, max_hamming, n_tables, subkey_bits, max_bucket_size, "simhash_lsh"
+    )
+
+
+def hamming_lsh_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    subkey_bits: int | None = None,
+    max_bucket_size: int | None = None,
+    what: str = "hamming_lsh",
+) -> DataFrame:
+    """Hamming-radius pairs over any 64-bit signature column →
+    (a_id, b_id, hamming), a_id < b_id. ``sigs`` must have (id, sig long).
+
+    The pigeonhole sub-key LSH shared by SimHash text dedup and the audio
+    perceptual-hash dedup (operators/audio_dedup.py): candidate recall is
+    exact whenever n_tables > max_hamming (see simhash_near_duplicates);
+    the Hamming filter afterwards is exact."""
     if n_tables <= max_hamming:
         raise ValueError(
             f"pigeonhole requires n_tables > max_hamming, got {n_tables} <= {max_hamming}"
@@ -527,7 +548,6 @@ def simhash_near_duplicates(
     if w < 1 or n_tables * w > 64:
         raise ValueError(f"n_tables*subkey_bits must fit in 64 bits, got {n_tables}x{w}")
     mask = (1 << w) - 1
-    base = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
     subkeys = [
         F.struct(
             F.lit(t).alias("tbl"),
@@ -535,11 +555,11 @@ def simhash_near_duplicates(
         )
         for t in range(n_tables)
     ]
-    buckets = base.select("id", "sig", F.explode(F.array(*subkeys)).alias("b")).select(
+    buckets = sigs.select("id", "sig", F.explode(F.array(*subkeys)).alias("b")).select(
         "id", "sig", "b.tbl", "b.sub"
     )
     cand = lsh_candidate_pairs(
-        buckets, ["tbl", "sub"], ["id", "sig"], max_bucket_size, "simhash_lsh"
+        buckets, ["tbl", "sub"], ["id", "sig"], max_bucket_size, what
     ).select(
         F.col("a.id").alias("a_id"),
         F.col("b.id").alias("b_id"),

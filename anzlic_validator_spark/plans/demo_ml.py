@@ -281,6 +281,64 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
 """
 
 
+# ------------------------------------------------------------- audio dedup
+
+
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level audio dedup (the audio-payload dedup the graft cell is
+    about): 240 clips = 80 distinct signals × 3 codecs (pcm_s16le / wav /
+    flac of the IDENTICAL s16 PCM), every 30th clip truncated. Byte-level
+    dedup finds nothing (every encoding differs); decoding to canonical PCM
+    and grouping on its md5 collapses each signal's codecs into one group.
+    Truncated clips either fail decode (wav/flac) or decode to different
+    content (pcm) — both correctly leave their group. FIXED 240 rows at
+    every SF (codec-correctness probe, as image_meta); the census is
+    closed-form row-index arithmetic."""
+    from anzlic_validator_spark.operators.audio_dedup import (
+        audio_exact_duplicates,
+        audio_fingerprints,
+    )
+
+    n = 240
+
+    def gen(batches):
+        import pandas as pd
+
+        from anzlic_validator_spark.functions.audio import encode, ref_signal
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = i % 80
+                codec = ("pcm_s16le", "wav", "flac")[i // 80]
+                sr = 8000
+                pcm = ref_signal(j, sr, sr // 2, seed=777)
+                b = encode(pcm, sr, codec)
+                if i % 30 == 29:
+                    b = b[: max(1, len(b) // 3)]
+                rows.append(
+                    {"clip_id": f"ac-{i:06d}", "bytes": b, "codec": codec, "sr_hz": sr}
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
+
+    clips = spark.range(n).mapInPandas(
+        gen, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    fps = audio_fingerprints(clips)
+    return audio_exact_duplicates(fps)
+
+
+SQL_AUDIO_DEDUP = """
+WITH ids AS (SELECT CAST(r.range AS BIGINT) AS i FROM range(240) r),
+ok AS (SELECT i, i % 80 AS j FROM ids WHERE i % 30 <> 29),
+g AS (SELECT j, count(*) AS n_clips, min(i) AS mi FROM ok GROUP BY j)
+SELECT 'ac-' || lpad(CAST(mi AS VARCHAR), 6, '0') AS canonical_key,
+       CAST(n_clips AS BIGINT) AS n_clips
+FROM g WHERE n_clips > 1
+"""
+
+
 # ------------------------------------------------------------------- ANN
 
 

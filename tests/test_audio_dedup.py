@@ -1,0 +1,79 @@
+"""Audio content-dedup operators (exact content fp + perceptual hash)."""
+
+import numpy as np
+from pyspark.sql import Row
+
+from anzlic_validator_spark.functions.audio import encode, ref_signal
+from anzlic_validator_spark.operators.audio_dedup import (
+    _phash64,
+    audio_exact_duplicates,
+    audio_fingerprints,
+    audio_near_duplicates,
+)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def test_phash_noise_robust_and_signal_discriminative():
+    """Deterministic fixture (seeds pinned): a 1% additive-noise copy stays
+    within Hamming 10 of its source; distinct signals sit >= 14 apart."""
+    sr = 8000
+    sigs = [ref_signal(j, sr, sr, seed=5) for j in range(8)]
+    hs = [_phash64(s.astype(np.float64), sr) for s in sigs]
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(99)))
+    for j, s in enumerate(sigs):
+        noisy = np.clip(s + 0.01 * rng.standard_normal(len(s)).astype(np.float32), -1, 1)
+        assert _ham(hs[j], _phash64(noisy.astype(np.float64), sr)) <= 10
+    cross = [_ham(hs[a], hs[b]) for a in range(8) for b in range(a + 1, 8)]
+    assert min(cross) >= 14
+
+
+def test_audio_fingerprints_codec_invariant_and_error_path(spark):
+    sr = 8000
+    pcm = ref_signal(3, sr, sr // 2, seed=7)
+    rows = [
+        Row(clip_id="a-pcm", bytes=encode(pcm, sr, "pcm_s16le"), codec="pcm_s16le", sr_hz=sr),
+        Row(clip_id="b-wav", bytes=encode(pcm, sr, "wav"), codec="wav", sr_hz=sr),
+        Row(clip_id="c-flac", bytes=encode(pcm, sr, "flac"), codec="flac", sr_hz=sr),
+        Row(clip_id="d-bad", bytes=encode(pcm, sr, "flac")[:40], codec="flac", sr_hz=sr),
+    ]
+    df = spark.createDataFrame(rows)
+    fps = {r.key: r for r in audio_fingerprints(df).collect()}
+    # identical PCM under any lossless codec -> identical content fp + phash
+    assert fps["a-pcm"].content_fp == fps["b-wav"].content_fp == fps["c-flac"].content_fp
+    assert fps["a-pcm"].phash == fps["b-wav"].phash == fps["c-flac"].phash
+    assert fps["a-pcm"].err is None
+    # truncated clip: per-row error, NULL fingerprints, no task failure
+    assert fps["d-bad"].content_fp is None and fps["d-bad"].err
+    groups = audio_exact_duplicates(audio_fingerprints(df)).collect()
+    assert len(groups) == 1
+    assert groups[0].canonical_key == "a-pcm" and groups[0].n_clips == 3
+
+
+def test_audio_near_duplicates_perceptual(spark):
+    """Noisy re-encodes pair with their source within the Hamming radius;
+    unrelated signals do not."""
+    sr = 8000
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(11)))
+    rows = []
+    for j in range(4):
+        s = ref_signal(j, sr, sr, seed=5)
+        noisy = np.clip(s + 0.01 * rng.standard_normal(len(s)).astype(np.float32), -1, 1)
+        rows.append(Row(key=f"s{j}", content_fp=f"f{j}",
+                        phash=int(np.uint64(_phash64(s.astype(np.float64), sr)).view(np.int64)),
+                        err=None))
+        rows.append(Row(key=f"s{j}n", content_fp=f"f{j}n",
+                        phash=int(np.uint64(_phash64(noisy.astype(np.float64), sr)).view(np.int64)),
+                        err=None))
+    rows.append(Row(key="dead", content_fp=None, phash=None, err="boom"))
+    fps = spark.createDataFrame(rows, "key string, content_fp string, phash long, err string")
+    pairs = {
+        (r.a_key, r.b_key)
+        for r in audio_near_duplicates(fps, max_hamming=10, n_tables=16).collect()
+    }
+    for j in range(4):
+        assert (f"s{j}", f"s{j}n") in pairs
+    # no cross-signal pair within the radius (fixture property, seeds pinned)
+    assert all(a[1:].rstrip("n") == b[1:].rstrip("n") for a, b in pairs)
