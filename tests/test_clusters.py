@@ -88,6 +88,18 @@ def test_select_survivors_min_id_and_quality(spark):
     assert by == {1: 9, 2: 4}
 
 
+def test_cc_final_plan_is_checkpoint_scan(spark):
+    """Scale guard: the DataFrame connected_components RETURNS must be a
+    scan over the last localCheckpoint — no join lineage. Without eager
+    checkpointing an iterative plan re-executes every round's joins on
+    every downstream action (and grows exponentially with rounds)."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(100)], "a_id long, b_id long")
+    out = connected_components(pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "ExistingRDD" in plan  # the checkpointed RDD scan
+
+
 def test_deduplicate_keep_one(spark):
     from anzlic_validator_spark.operators.clusters import deduplicate
 
