@@ -80,19 +80,32 @@ def audio_fingerprints(
     exact content fingerprint (md5 hex of canonical s16 PCM) and the
     perceptual hash; undecodable clips carry err and NULL fingerprints —
     a violation for the rule catalog, never a task failure."""
+    from anzlic_validator_spark.functions.audio import _CODEC_REGISTRY
+
+    # creation-time snapshot (decode()'s contract): the Python workers
+    # re-import this module with an EMPTY registry, so driver-side
+    # register_codec() registrations must ride the UDF closure
+    registry = dict(_CODEC_REGISTRY)
 
     @F.pandas_udf("content_fp string, phash long, err string")
     def fp(b: pd.Series, codec: pd.Series, sr: pd.Series) -> pd.DataFrame:
         out = {"content_fp": [], "phash": [], "err": []}
         for bb, cc, ss in zip(b, codec, sr):
-            pcm, sr_emb, err = decode(bb, cc)
+            pcm, sr_emb, err = decode(bb, cc, registry)
             if err is not None or pcm is None:
                 out["content_fp"].append(None)
                 out["phash"].append(None)
                 out["err"].append(err or "decode failed")
                 continue
             s16 = _to_s16(pcm)
-            rate = int(sr_emb or (ss if ss is not None else 16000))
+            # NULL sr_hz arrives as NaN (pandas nullable-int → float64);
+            # int(NaN) would abort the task, violating the contract above
+            if sr_emb:
+                rate = int(sr_emb)
+            elif ss is None or pd.isna(ss):
+                rate = 16000
+            else:
+                rate = int(ss)
             out["content_fp"].append(hashlib.md5(s16.tobytes()).hexdigest())
             # view as int64 (phash is a uint64 bit pattern; Spark long)
             out["phash"].append(

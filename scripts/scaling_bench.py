@@ -110,7 +110,7 @@ identical `spark-submit --py-files` job (full rule catalog incl Arrow
 PCM-decode checks (incl. real FLAC), salted uniqueness, referential joins, verdict +
 violation + manifest writes) on the identical deterministic input
 ({n_rows} clips, seed 42, `{clips_path}`), at two parallelism levels.
-Figures are the median of 9 measured runs pooled from 3 interleaved
+Figures are the median of {len(samples[args.n4])} measured runs pooled from 3 interleaved
 spark-submit invocations per config (1 warmup each) — interleaving cancels
 this sandbox VM's time-varying noise; all samples shown.
 

@@ -52,6 +52,37 @@ def test_audio_fingerprints_codec_invariant_and_error_path(spark):
     assert groups[0].canonical_key == "a-pcm" and groups[0].n_clips == 3
 
 
+def test_audio_fingerprints_null_sr_and_registered_codec(spark):
+    """Review r04: (a) a NULL sr_hz row (NaN in the Arrow batch) must yield
+    a fingerprint, not abort the task; (b) driver-side register_codec()
+    registrations must reach the UDF workers via the creation-time
+    snapshot — the module registry is empty on executors."""
+    from anzlic_validator_spark.functions.audio import _CODEC_REGISTRY, register_codec
+
+    sr = 8000
+    pcm = ref_signal(1, sr, sr // 2, seed=7)
+    raw = encode(pcm, sr, "pcm_s16le")
+
+    def dec_rev(b):  # trivially registered codec: byte-reversed pcm
+        return np.frombuffer(b[::-1], dtype="<i2").astype(np.float32) / 32767.0, sr
+
+    register_codec("revpcm", lambda p, s: encode(p, s, "pcm_s16le")[::-1], dec_rev)
+    try:
+        rows = [
+            Row(clip_id="nullsr", bytes=raw, codec="pcm_s16le", sr_hz=None),
+            Row(clip_id="reg", bytes=raw[::-1], codec="revpcm", sr_hz=sr),
+            Row(clip_id="plain", bytes=raw, codec="pcm_s16le", sr_hz=sr),
+        ]
+        df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+        fps = {r.key: r for r in audio_fingerprints(df).collect()}
+    finally:
+        _CODEC_REGISTRY.pop("revpcm", None)
+    assert fps["nullsr"].err is None and fps["nullsr"].content_fp is not None
+    # the registered codec decodes to the SAME content -> same fingerprint
+    assert fps["reg"].err is None
+    assert fps["reg"].content_fp == fps["plain"].content_fp
+
+
 def test_audio_near_duplicates_perceptual(spark):
     """Noisy re-encodes pair with their source within the Hamming radius;
     unrelated signals do not."""

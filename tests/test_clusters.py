@@ -143,8 +143,13 @@ def test_chained_dup_corpus_handles_short_docs(spark, tmp_path):
     out = q_dedup_clusters(spark, str(tmp_path))
     rows = {r.cluster_id: (r.n_members, r.survivor_id) for r in out.collect()}
     # doc 20's tail/head copies cluster with it; survivor = the original
-    # (longest); the degenerate short docs crash nothing and pair nothing
+    # (longest). The degenerate short docs crash nothing; their empty-text
+    # truncation copies (docs 0 and 10 truncate to '') all shingle to ['']
+    # and form one all-empty cluster of their own — identically on both
+    # engines — which is why the oracle stays green.
     assert any(n >= 2 and s == 20 for n, s in rows.values())
+    empties = [c for c, (n, s) in rows.items() if s >= 100000]
+    assert len(empties) == 1  # the all-empty-copy cluster, nothing else
 
 
 def test_chain_spanning_three_lsh_buckets_end_to_end(spark):
