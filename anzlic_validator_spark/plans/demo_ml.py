@@ -63,7 +63,12 @@ def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), truncated.alias("text")
     )
-    return docs.unionByName(copies)
+    # the test table is ONE tiny parquet file → a 1-2 partition scan starves
+    # the per-row signature codegen of cores; a real corpus arrives in many
+    # splits, so spread the tiny fixture the same way (cheap: a few MB)
+    return docs.unionByName(copies).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +166,10 @@ def _corpus_with_chained_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_head = docs.where(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), head.alias("text")
     )
-    return docs.unionByName(c_tail).unionByName(c_head)
+    # see _corpus_with_near_dups: spread the single-file fixture scan
+    return docs.unionByName(c_tail).unionByName(c_head).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
