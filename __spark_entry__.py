@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": demo_ml.q_dedup_simhash,
         "dedup_winnow": demo_ml.q_dedup_winnow,
         "dedup_clusters": demo_ml.q_dedup_clusters,
+        "dedup_keep": demo_ml.q_dedup_keep,
         "audio_dedup": demo_ml.q_audio_dedup,
         "image_meta": demo_ml.q_image_meta,
         "dedup_embedding": demo_ml.q_dedup_embedding,
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": demo_ml.SQL_DEDUP_SIMHASH,
         "dedup_winnow": demo_ml.SQL_DEDUP_WINNOW,
         "dedup_clusters": demo_ml.SQL_DEDUP_CLUSTERS,
+        "dedup_keep": demo_ml.SQL_DEDUP_KEEP,
         "audio_dedup": demo_ml.SQL_AUDIO_DEDUP,
         "image_meta": demo_ml.SQL_IMAGE_META,
         "dedup_embedding": demo_ml.SQL_DEDUP_EMBEDDING,

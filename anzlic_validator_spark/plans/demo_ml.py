@@ -197,6 +197,69 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_survivors(members, quality_col="n_tokens")
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full keep-one dedup composition on the gate: corpus → minhash
+    pairs → connected components → quality survivors → corpus MINUS
+    non-survivors. Returns the kept doc_ids."""
+    from anzlic_validator_spark.operators.clusters import deduplicate
+
+    corpus = _corpus_with_chained_dups(spark, sf_dir)
+    with_q = corpus.withColumn("n_tokens", F.size(F.split("text", " ")))
+    pairs = minhash_near_duplicates(
+        corpus, "text", "doc_id", threshold=0.6, num_hashes=63, n_bands=21,
+        max_bucket_size=10_000,
+    )
+    return deduplicate(with_q, pairs, "doc_id", quality_col="n_tokens").select("doc_id")
+
+
+SQL_DEDUP_KEEP = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(string_split(text,' ')[1:greatest(len(string_split(text,' '))-2, 0)], ' ')
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(string_split(text,' ')[3:len(string_split(text,' '))], ' ')
+  FROM documents WHERE doc_id % 20 = 0
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text,' ')) >= 3 THEN
+           list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+             i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+         ELSE [text] END AS s
+  FROM corpus
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.u AS id, rr.r FROM edges e JOIN reach rr ON e.v = rr.id
+),
+cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+m AS (
+  SELECT cl.cluster_id, cl.id, len(string_split(c.text,' ')) AS n_tokens
+  FROM cl JOIN corpus c ON cl.id = c.doc_id
+),
+losers AS (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY n_tokens DESC, id ASC) AS rn
+    FROM m
+  ) WHERE rn > 1
+)
+SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
 # oracle: exact pairwise Jaccard pairs (as SQL_DEDUP_MINHASH) → transitive
 # closure by recursive CTE → per-cluster survivor by (n_tokens DESC, id ASC)
 SQL_DEDUP_CLUSTERS = """

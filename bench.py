@@ -165,6 +165,7 @@ QUERY_NAMES = [
     "dedup_simhash",
     "dedup_winnow",
     "dedup_clusters",
+    "dedup_keep",
     "audio_dedup",
     "image_meta",
     "dedup_embedding",
