@@ -189,3 +189,43 @@ def test_winnow_shared_run_guarantee(spark, shared, pre, post):
     a = {r.fp for r in fps if r.doc_id == 1}
     b = {r.fp for r in fps if r.doc_id == 2}
     assert a & b
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: connected_components equals a pure-Python union-find on
+    arbitrary graphs (self-loops and duplicate edges included)."""
+    from anzlic_validator_spark.operators.clusters import connected_components
+
+    pairs = [(a, b) for a, b in edges]
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(pairs, "a_id long, b_id long") if pairs else (
+        spark.createDataFrame([], "a_id long, b_id long")
+    )
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == expected
