@@ -227,6 +227,13 @@ def main(argv: list[str] | None = None) -> int:
     import __spark_entry__ as e
 
     qs = e.queries()
+    # untimed JVM/codegen warm-up (synthetic op, touches no suite input):
+    # otherwise the first timed query absorbs ~5 s of session cold-start
+    # (measured: lineitem_rules 6.5-9 s as the cold opener vs 1.6-2.5 s in
+    # a warm session) and reads as a regression that isn't one
+    spark.range(1_000_000).selectExpr("xxhash64(string(id)) AS h").agg(
+        {"h": "max"}
+    ).collect()
     timings: dict[str, float] = {}
     for name in QUERY_NAMES:
         t0 = time.monotonic()
