@@ -212,7 +212,11 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduplicate(with_q, pairs, "doc_id", quality_col="n_tokens").select("doc_id")
 
 
-SQL_DEDUP_KEEP = """
+# shared cluster-resolution CTE prefix (corpus → shingles → exact-Jaccard
+# pairs → recursive-CTE transitive closure → member table m with n_tokens) —
+# ONE definition composed into both oracles below so a retune (threshold,
+# shingle width, offsets, tie-break) can never desynchronize them
+_SQL_CLUSTER_CTES = """
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -248,8 +252,11 @@ cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
 m AS (
   SELECT cl.cluster_id, cl.id, len(string_split(c.text,' ')) AS n_tokens
   FROM cl JOIN corpus c ON cl.id = c.doc_id
-),
-losers AS (
+)
+"""
+
+SQL_DEDUP_KEEP = _SQL_CLUSTER_CTES + """
+, losers AS (
   SELECT id FROM (
     SELECT id, row_number() OVER (
       PARTITION BY cluster_id ORDER BY n_tokens DESC, id ASC) AS rn
@@ -262,44 +269,8 @@ SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM losers)
 
 # oracle: exact pairwise Jaccard pairs (as SQL_DEDUP_MINHASH) → transitive
 # closure by recursive CTE → per-cluster survivor by (n_tokens DESC, id ASC)
-SQL_DEDUP_CLUSTERS = """
-WITH RECURSIVE corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000,
-         array_to_string(string_split(text,' ')[1:greatest(len(string_split(text,' '))-2, 0)], ' ')
-  FROM documents WHERE doc_id % 10 = 0
-  UNION ALL
-  SELECT doc_id + 200000,
-         array_to_string(string_split(text,' ')[3:len(string_split(text,' '))], ' ')
-  FROM documents WHERE doc_id % 20 = 0
-),
-sh AS (
-  SELECT doc_id,
-         CASE WHEN len(string_split(text,' ')) >= 3 THEN
-           list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-             i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
-         ELSE [text] END AS s
-  FROM corpus
-),
-pairs AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
-),
-edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
-reach AS (
-  SELECT u AS id, u AS r FROM edges
-  UNION
-  SELECT e.u AS id, rr.r FROM edges e JOIN reach rr ON e.v = rr.id
-),
-cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-m AS (
-  SELECT cl.cluster_id, cl.id, len(string_split(c.text,' ')) AS n_tokens
-  FROM cl JOIN corpus c ON cl.id = c.doc_id
-),
-ranked AS (
+SQL_DEDUP_CLUSTERS = _SQL_CLUSTER_CTES + """
+, ranked AS (
   SELECT cluster_id,
          count(*) OVER (PARTITION BY cluster_id) AS n_members,
          id AS survivor_id,
