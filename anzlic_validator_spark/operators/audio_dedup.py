@@ -51,7 +51,16 @@ def _phash64(pcm: np.ndarray, sr: int) -> int:
     [sr/256, sr/2.56] (≈ [62 Hz, 6.25 kHz] at 16 kHz — the speech band),
     bit b = majority vote over frames of sign(E[b] − E[b+1]). Deterministic
     pure numpy; robust to low-level additive noise because band-energy
-    ORDER, not magnitude, is hashed."""
+    ORDER, not magnitude, is hashed.
+
+    SCOPE: a clip-level 64-bit majority hash is a coarse near-dup SCREEN —
+    measured on the synthetic corpus, noisy-copy distance can reach ~16
+    bits while unrelated-signal minimum distance can dip to ~8 at 40+
+    clips, so radius tuning is corpus-dependent and candidate pairs should
+    be verified (e.g. PCM cross-correlation). A production matcher keeps
+    the PER-FRAME 32-bit subfingerprints and counts frame matches
+    (Haitsma-Kalker's actual search structure); the exact content_fp path
+    is the precise instrument for identical-content dedup."""
     x = np.asarray(pcm, dtype=np.float64)
     if len(x) < _FRAME:
         x = np.pad(x, (0, _FRAME - len(x)))
