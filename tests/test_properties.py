@@ -229,3 +229,33 @@ def test_connected_components_matches_union_find(spark, edges):
     )
     got = {r.id: r.cluster_id for r in connected_components(df).collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 3)),
+        min_size=0,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_lsh_capped_expansion_matches_uncapped(spark, rows):
+    """Property: with a cap above every bucket, the incremental collect_list
+    expansion emits exactly the self-join strategy's pair set (and counts);
+    with a binding cap, the result is a subset."""
+    from anzlic_validator_spark.operators.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(i, 0, b) for i, b in rows], "id long, tbl int, bkt long"
+    )
+
+    def pairs(cap, counts=False):
+        out = lsh_candidate_pairs(df, ["tbl", "bkt"], ["id"], cap, "prop", counts=counts)
+        if counts:
+            return {(r.a.id, r.b.id): r.n_shared for r in out.collect()}
+        return {(r.a.id, r.b.id) for r in out.collect()}
+
+    assert pairs(100) == pairs(None)
+    assert pairs(100, counts=True) == pairs(None, counts=True)
+    assert pairs(2) <= pairs(None)
