@@ -208,7 +208,9 @@ def test_entry_contract(spark, sf_dir):
     assert df.count() >= 0
     assert df.columns == ["key", "rule_id", "observed", "expected"]
     qs, oracles = e.queries(), e.oracle_sql()
-    assert set(oracles) <= set(qs)
+    # full parity since r04: every query carries an oracle — a new queries()
+    # entry without its oracle_sql() twin must fail fast here
+    assert set(oracles) == set(qs)
     # every query runs at the smoke SF and returns a DataFrame
     for name, fn in qs.items():
         out = fn(spark, sf_dir)
