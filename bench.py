@@ -167,6 +167,7 @@ QUERY_NAMES = [
     "dedup_clusters",
     "dedup_keep",
     "audio_dedup",
+    "audio_neardup",
     "image_meta",
     "dedup_embedding",
     "ann_bruteforce",

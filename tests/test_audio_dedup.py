@@ -83,6 +83,39 @@ def test_audio_fingerprints_null_sr_and_registered_codec(spark):
     assert fps["reg"].content_fp == fps["plain"].content_fp
 
 
+def test_frame_subfingerprints_and_frame_near_dup(spark):
+    """Frame-half matching (the Haitsma-Kalker search shape): noisy copies
+    share many exact halves, unrelated signals few; the Spark operator
+    recovers exactly the planted pairs at min_matches=8."""
+    from anzlic_validator_spark.operators.audio_dedup import (
+        audio_near_duplicates_frames,
+        frame_subfingerprint_halves,
+    )
+
+    sr = 8000
+    rows = []
+    for j in range(6):
+        s = ref_signal(j, sr, 2 * sr, seed=5).astype(np.float64)
+        rng = np.random.Generator(np.random.Philox(key=np.uint64(77) ^ np.uint64(j)))
+        nz = np.clip(s + 0.01 * rng.standard_normal(len(s)), -1, 1)
+        f_s = frame_subfingerprint_halves(s, sr)
+        f_n = frame_subfingerprint_halves(nz, sr)
+        assert len(np.intersect1d(f_s, f_n)) >= 8  # planted similarity
+        rows.append(Row(key=f"o{j}", content_fp=None, phash=None,
+                        frames=[int(x) for x in f_s], err=None))
+        rows.append(Row(key=f"n{j}", content_fp=None, phash=None,
+                        frames=[int(x) for x in f_n], err=None))
+    rows.append(Row(key="dead", content_fp=None, phash=None, frames=None, err="x"))
+    fps = spark.createDataFrame(
+        rows, "key string, content_fp string, phash long, frames array<long>, err string"
+    )
+    pairs = {
+        tuple(sorted((r.a_key, r.b_key)))
+        for r in audio_near_duplicates_frames(fps, min_matches=8).collect()
+    }
+    assert pairs == {(f"n{j}", f"o{j}") for j in range(6)}
+
+
 def test_audio_near_duplicates_perceptual(spark):
     """Noisy re-encodes pair with their source within the Hamming radius;
     unrelated signals do not."""
