@@ -45,16 +45,21 @@ _HOP = 512
 _N_BANDS = 65  # 65 band energies -> 64 delta-sign bits
 
 
-def _band_energies(pcm: np.ndarray, sr: int, n_bands: int) -> np.ndarray:
-    """(n_frames, n_bands) band-energy matrix: Hann-windowed 1024-sample
-    frames (hop 512), rfft power folded into geometrically-spaced bands
-    across [sr/256, sr/2.56] (≈ the speech band at common rates)."""
+def _frame_spectra(pcm: np.ndarray) -> np.ndarray:
+    """(n_frames, 513) power spectra: Hann-windowed 1024-sample frames
+    (hop 512). Computed ONCE per clip and folded into however many band
+    sets the fingerprints need — the rfft is the UDF's dominant cost."""
     x = np.asarray(pcm, dtype=np.float64)
     if len(x) < _FRAME:
         x = np.pad(x, (0, _FRAME - len(x)))
     frames = np.lib.stride_tricks.sliding_window_view(x, _FRAME)[::_HOP]
     win = np.hanning(_FRAME)
-    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2  # (n_frames, 513)
+    return np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+
+
+def _fold_bands(spec: np.ndarray, sr: int, n_bands: int) -> np.ndarray:
+    """(n_frames, n_bands) band energies: spectra folded into geometrically-
+    spaced bands across [sr/256, sr/2.56] (≈ the speech band)."""
     f_lo, f_hi = sr / 256.0, sr / 2.56
     edges = np.geomspace(f_lo, f_hi, n_bands + 1)
     bins = np.clip(
@@ -62,6 +67,19 @@ def _band_energies(pcm: np.ndarray, sr: int, n_bands: int) -> np.ndarray:
     )
     cs = np.concatenate([np.zeros((spec.shape[0], 1)), np.cumsum(spec, axis=1)], axis=1)
     return cs[:, bins[1:]] - cs[:, bins[:-1]]
+
+
+def _band_energies(pcm: np.ndarray, sr: int, n_bands: int) -> np.ndarray:
+    return _fold_bands(_frame_spectra(pcm), sr, n_bands)
+
+
+def _halves_from_bands(e: np.ndarray) -> np.ndarray:
+    d = e[:, :-1] - e[:, 1:]  # (n_frames, 32)
+    bits = (d > 0).astype(np.uint32)
+    full = (bits << np.arange(32, dtype=np.uint32)).sum(axis=1, dtype=np.uint32)
+    lo = (full & np.uint32(0xFFFF)).astype(np.int64)
+    hi = (full >> np.uint32(16)).astype(np.int64) + (1 << 16)
+    return np.unique(np.concatenate([lo, hi]))
 
 
 def frame_subfingerprint_halves(pcm: np.ndarray, sr: int) -> np.ndarray:
@@ -73,13 +91,13 @@ def frame_subfingerprint_halves(pcm: np.ndarray, sr: int) -> np.ndarray:
     recall from ~0 to every-clip-matches at 1% noise while keeping the
     cross-signal collision rate of a 16-bit exact key. DISTINCT halves per
     clip (set semantics, as winnowing fingerprints)."""
-    e = _band_energies(pcm, sr, 33)
-    d = e[:, :-1] - e[:, 1:]  # (n_frames, 32)
-    bits = (d > 0).astype(np.uint32)
-    full = (bits << np.arange(32, dtype=np.uint32)).sum(axis=1, dtype=np.uint32)
-    lo = (full & np.uint32(0xFFFF)).astype(np.int64)
-    hi = (full >> np.uint32(16)).astype(np.int64) + (1 << 16)
-    return np.unique(np.concatenate([lo, hi]))
+    return _halves_from_bands(_fold_bands(_frame_spectra(pcm), sr, 33))
+
+
+def _phash64_from_bands(e: np.ndarray) -> int:
+    d = e[:, :-1] - e[:, 1:]  # (n_frames, 64)
+    bits = (np.median(d, axis=0) > 0).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
 
 
 def _phash64(pcm: np.ndarray, sr: int) -> int:
@@ -98,10 +116,7 @@ def _phash64(pcm: np.ndarray, sr: int) -> int:
     ``frame_subfingerprint_halves`` + ``audio_near_duplicates_frames``
     implement; the exact content_fp path is the precise instrument for
     identical-content dedup."""
-    e = _band_energies(pcm, sr, _N_BANDS)  # (n_frames, 65)
-    d = e[:, :-1] - e[:, 1:]  # (n_frames, 64)
-    bits = (np.median(d, axis=0) > 0).astype(np.uint64)
-    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return _phash64_from_bands(_band_energies(pcm, sr, _N_BANDS))
 
 
 def audio_fingerprints(
@@ -146,9 +161,15 @@ def audio_fingerprints(
                 rate = int(ss)
             out["content_fp"].append(hashlib.md5(s16.tobytes()).hexdigest())
             pcm64 = s16.astype(np.float64) / 32767.0
+            # ONE rfft pass per clip, folded into both band sets (the
+            # spectra are the UDF's dominant cost; review r04)
+            spec = _frame_spectra(pcm64)
+            phash = _phash64_from_bands(_fold_bands(spec, rate, _N_BANDS))
             # view as int64 (phash is a uint64 bit pattern; Spark long)
-            out["phash"].append(int(np.uint64(_phash64(pcm64, rate)).view(np.int64)))
-            out["frames"].append(frame_subfingerprint_halves(pcm64, rate).tolist())
+            out["phash"].append(int(np.uint64(phash).view(np.int64)))
+            out["frames"].append(
+                _halves_from_bands(_fold_bands(spec, rate, 33)).tolist()
+            )
             out["err"].append(None)
         return pd.DataFrame(out)
 
@@ -186,7 +207,15 @@ def audio_near_duplicates_frames(
     1% additive noise (2 s clips): planted copies share >= 11 halves,
     unrelated signals <= 6 — min_matches=8 splits the distributions with
     margin. Prefer this over the clip-level phash radius for corpora past
-    a few dozen clips (see _phash64's scope note)."""
+    a few dozen clips (see _phash64's scope note).
+
+    RECALL FLOOR: a clip carrying fewer than ``min_matches`` distinct
+    tagged halves can never pair — at most 2 halves per frame, so clips
+    shorter than ~``min_matches/2 + 1`` frames (≈ 0.35 s at the 1024/512
+    framing) or heavily repetitive/silent audio (set semantics collapse
+    repeated frames) fall below the bar. Lower ``min_matches`` for
+    short-clip corpora, accepting more chance collisions, or route such
+    clips to the exact content_fp path."""
     from anzlic_validator_spark.operators.dedup import lsh_candidate_pairs
 
     ex = fps.where(F.col("frames").isNotNull()).select(
