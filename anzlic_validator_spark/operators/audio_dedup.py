@@ -119,58 +119,95 @@ def _phash64(pcm: np.ndarray, sr: int) -> int:
     return _phash64_from_bands(_band_energies(pcm, sr, _N_BANDS))
 
 
+_FP_PARTS = ("content_fp", "phash", "frames")
+
+
+def _fingerprint_one(
+    bb,
+    cc,
+    ss,
+    registry: dict,
+    want_phash: bool,
+    want_frames: bool,
+    spectra=_frame_spectra,
+) -> tuple:
+    """One clip → (content_fp, phash, frames, err). The spectra pass (the
+    UDF's dominant cost after decode) runs ONLY when a perceptual part was
+    requested; ``spectra`` is injectable so tests can pin that structurally
+    (a worker-side call-count can't be observed from the driver)."""
+    pcm, sr_emb, err = decode(bb, cc, registry)
+    if err is not None or pcm is None:
+        return None, None, None, err or "decode failed"
+    s16 = _to_s16(pcm)
+    content_fp = hashlib.md5(s16.tobytes()).hexdigest()
+    if not (want_phash or want_frames):
+        return content_fp, None, None, None
+    # NULL sr_hz arrives as NaN (pandas nullable-int → float64);
+    # int(NaN) would abort the task, violating the never-fail contract
+    if sr_emb:
+        rate = int(sr_emb)
+    elif ss is None or pd.isna(ss):
+        rate = 16000
+    else:
+        rate = int(ss)
+    pcm64 = s16.astype(np.float64) / 32767.0
+    # ONE rfft pass per clip, folded into both band sets (review r04)
+    spec = spectra(pcm64)
+    phash = frames = None
+    if want_phash:
+        ph = _phash64_from_bands(_fold_bands(spec, rate, _N_BANDS))
+        # view as int64 (phash is a uint64 bit pattern; Spark long)
+        phash = int(np.uint64(ph).view(np.int64))
+    if want_frames:
+        frames = _halves_from_bands(_fold_bands(spec, rate, 33)).tolist()
+    return content_fp, phash, frames, None
+
+
 def audio_fingerprints(
     df: DataFrame,
     key_col: str = "clip_id",
     bytes_col: str = "bytes",
     codec_col: str = "codec",
     sr_col: str = "sr_hz",
+    parts: tuple = _FP_PARTS,
 ) -> DataFrame:
     """→ (key, content_fp, phash, frames, err): decode each clip once and
     emit the exact content fingerprint (md5 hex of canonical s16 PCM), the
     clip-level perceptual hash, and the per-frame tagged half
     subfingerprints (frame-match near-dup input); undecodable clips carry
     err and NULL fingerprints — a violation for the rule catalog, never a
-    task failure."""
+    task failure.
+
+    ``parts`` selects which fingerprints to compute (VERDICT r04 #4): an
+    exact-only dedup pass — the most common call — should request
+    ``("content_fp",)`` so the Hann-window rfft behind phash/frames (the
+    dominant post-decode cost, roughly doubling the pass) is skipped
+    entirely. Unrequested parts come back NULL; the output schema never
+    changes, so downstream plans are parts-agnostic."""
+    unknown = set(parts) - set(_FP_PARTS)
+    if unknown or not parts:
+        raise ValueError(f"parts must be a non-empty subset of {_FP_PARTS}, got {parts!r}")
     from anzlic_validator_spark.functions.audio import _CODEC_REGISTRY
 
     # creation-time snapshot (decode()'s contract): the Python workers
     # re-import this module with an EMPTY registry, so driver-side
     # register_codec() registrations must ride the UDF closure
     registry = dict(_CODEC_REGISTRY)
+    want_content = "content_fp" in parts
+    want_phash = "phash" in parts
+    want_frames = "frames" in parts
 
     @F.pandas_udf("content_fp string, phash long, frames array<long>, err string")
     def fp(b: pd.Series, codec: pd.Series, sr: pd.Series) -> pd.DataFrame:
         out = {"content_fp": [], "phash": [], "frames": [], "err": []}
         for bb, cc, ss in zip(b, codec, sr):
-            pcm, sr_emb, err = decode(bb, cc, registry)
-            if err is not None or pcm is None:
-                out["content_fp"].append(None)
-                out["phash"].append(None)
-                out["frames"].append(None)
-                out["err"].append(err or "decode failed")
-                continue
-            s16 = _to_s16(pcm)
-            # NULL sr_hz arrives as NaN (pandas nullable-int → float64);
-            # int(NaN) would abort the task, violating the contract above
-            if sr_emb:
-                rate = int(sr_emb)
-            elif ss is None or pd.isna(ss):
-                rate = 16000
-            else:
-                rate = int(ss)
-            out["content_fp"].append(hashlib.md5(s16.tobytes()).hexdigest())
-            pcm64 = s16.astype(np.float64) / 32767.0
-            # ONE rfft pass per clip, folded into both band sets (the
-            # spectra are the UDF's dominant cost; review r04)
-            spec = _frame_spectra(pcm64)
-            phash = _phash64_from_bands(_fold_bands(spec, rate, _N_BANDS))
-            # view as int64 (phash is a uint64 bit pattern; Spark long)
-            out["phash"].append(int(np.uint64(phash).view(np.int64)))
-            out["frames"].append(
-                _halves_from_bands(_fold_bands(spec, rate, 33)).tolist()
+            content_fp, phash, frames, err = _fingerprint_one(
+                bb, cc, ss, registry, want_phash, want_frames
             )
-            out["err"].append(None)
+            out["content_fp"].append(content_fp if want_content else None)
+            out["phash"].append(phash)
+            out["frames"].append(frames)
+            out["err"].append(err)
         return pd.DataFrame(out)
 
     return df.select(
@@ -195,7 +232,7 @@ def audio_exact_duplicates(fps: DataFrame) -> DataFrame:
 def audio_near_duplicates_frames(
     fps: DataFrame,
     min_matches: int = 8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Frame-match perceptual near-dup pairs → (a_key, b_key, n_shared),
     a_key < b_key, n_shared >= min_matches shared half-subfingerprints.
@@ -215,7 +252,18 @@ def audio_near_duplicates_frames(
     framing) or heavily repetitive/silent audio (set semantics collapse
     repeated frames) fall below the bar. Lower ``min_matches`` for
     short-clip corpora, accepting more chance collisions, or route such
-    clips to the exact content_fp path."""
+    clips to the exact content_fp path.
+
+    HOT-HALF DEGENERACY (ADVICE r04): the bucket key is a single global
+    16-bit half-subfingerprint — silent, constant, or heavily-clipped
+    frames hash to the SAME few halves across much of a real corpus, so
+    one hot half degrades the bucket join to a corpus-scale O(n²)
+    self-join, exactly the boilerplate-bucket failure mode of the text
+    LSH family. ``max_bucket_size`` therefore DEFAULTS to a cap (with the
+    standard logged drop census): a half shared by more than ``cap`` clips
+    carries no discriminative signal, the same reasoning as the
+    simhash/minhash guidance. Pass ``None`` only for small corpora or
+    oracle runs that must be exactly exhaustive."""
     from anzlic_validator_spark.operators.dedup import lsh_candidate_pairs
 
     ex = fps.where(F.col("frames").isNotNull()).select(

@@ -41,6 +41,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind a superseded eager
+    ``localCheckpoint`` DataFrame (ADVICE r04: without this, every round's
+    O(V) label table stays cached until the nondeterministic ContextCleaner
+    pass). ``df`` must be the checkpointed DataFrame itself — its analyzed
+    plan is the ``LogicalRDD`` holding the checkpointed RDD. Best-effort by
+    design (reaches through the JVM plan; correctness never depends on it),
+    and only ever called on checkpoints whose successors are already
+    materialized, so the "cannot be recomputed" warning it logs is accurate
+    but harmless."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - internal API shape changed
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
@@ -72,6 +88,10 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    # the previous round's checkpointed label table, freed as soon as the
+    # next round's checkpoint is materialized (ADVICE r04); the FINAL
+    # round's checkpoint is never freed — the returned DataFrame reads it
+    prev_ckpt = labels
     try:
         for _ in range(max_iterations):
             # 1) min over neighbours' labels (the one edge-sized shuffle).
@@ -114,6 +134,12 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
+            # stepped is materialized: everything it was derived from is
+            # superseded — free this round's intermediate and the previous
+            # round's label table (each an O(V) cached block set)
+            _free_local_checkpoint(merged)
+            _free_local_checkpoint(prev_ckpt)
+            prev_ckpt = stepped
             changed = stepped.agg(
                 F.sum((F.col("__old") != F.col("label")).cast("long")).alias("c")
             ).first()["c"]

@@ -167,7 +167,9 @@ def winnow_near_duplicates(
     )
 
 
-def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def repetition_features(
+    df: DataFrame, text_col: str, id_col: str, strategy: str = "catalyst"
+) -> DataFrame:
     """Gopher/C4-style repetition quality signals per document — the filters
     a pretraining pipeline runs next to langid (Rae et al. 2021 §A1.1):
 
@@ -183,12 +185,24 @@ def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
       boilerplate/degenerate docs sit far below natural text (~4.1 for
       English).
 
-    Pure Catalyst: every array (tokens, lines, chars, gram lists) is
-    materialized as its own projection BEFORE the counting lambdas reference
-    it (the no-CSE rule — an inline split inside a lambda re-evaluates per
-    element). Per-row cost is O(distinct · total) array scans in codegen —
-    no shuffle, no Python.
+    Two physical strategies producing IDENTICAL values (pinned by test):
+
+    - ``strategy="catalyst"`` (default): zero shuffle, zero Python; every
+      array (tokens, lines, chars, gram lists) is materialized as its own
+      projection BEFORE the counting lambdas reference it (the no-CSE rule
+      — an inline split inside a lambda re-evaluates per element). The
+      occurrence counts behind top_2gram_share / char_entropy are
+      O(distinct · total) array scans per row in codegen — fine up to
+      ~2·10³ tokens per doc (~10⁶–10⁷ comparisons/row), QUADRATIC beyond.
+    - ``strategy="shuffle"`` (ADVICE r04 — use for Gopher/C4-length docs,
+      10⁴–10⁵ tokens): occurrence counts via explode + two-level groupBy —
+      per-row cost drops to O(total), at the price of two shuffles of
+      small (id, gram)/(id, char) rows joined back to the per-row metrics.
+      At pretraining doc lengths the catalyst path would spend ~10⁸–10¹⁰
+      comparisons on a single row, so the shuffle is the 100 TB plan.
     """
+    if strategy not in ("catalyst", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     t = F.col(text_col)
     base = df.select(
         F.col(id_col),
@@ -222,6 +236,55 @@ def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).otherwise(F.lit(0.0))
 
     g2 = F.col("__g2")
+
+    if strategy == "shuffle":
+        light = g.select(
+            F.col(id_col),
+            F.round(dup_frac(F.col("__lines")), 4).alias("dup_line_frac"),
+            F.round(dup_frac(g2), 4).alias("dup_2gram_frac"),
+            F.round(dup_frac(F.col("__g3")), 4).alias("dup_3gram_frac"),
+        )
+        # occurrence counts as rows: the inner groupBy is map-side combined
+        # on (id, gram), so a doc with 10^5 tokens contributes ~distinct
+        # rows to the exchange, not total; empty docs drop out of the
+        # explode and coalesce back to 0.0 after the left joins
+        top2_agg = (
+            g.select(F.col(id_col), F.explode("__g2").alias("__gram"))
+            .groupBy(id_col, "__gram")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(id_col)
+            .agg(
+                (F.max("__c").cast("double") / F.sum("__c").cast("double")).alias(
+                    "__top2"
+                )
+            )
+        )
+        # -Σ p·log2 p  ==  log2 N − (Σ c·log2 c)/N  (p = c/N)
+        ent_agg = (
+            g.select(F.col(id_col), F.explode("__chars").alias("__ch"))
+            .groupBy(id_col, "__ch")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(id_col)
+            .agg(
+                (
+                    F.log2(F.sum("__c"))
+                    - F.sum(F.col("__c") * F.log2("__c")) / F.sum("__c")
+                ).alias("__ent")
+            )
+        )
+        return (
+            light.join(top2_agg, id_col, "left")
+            .join(ent_agg, id_col, "left")
+            .select(
+                F.col(id_col),
+                "dup_line_frac",
+                "dup_2gram_frac",
+                "dup_3gram_frac",
+                F.round(F.coalesce("__top2", F.lit(0.0)), 4).alias("top_2gram_share"),
+                F.round(F.coalesce("__ent", F.lit(0.0)), 4).alias("char_entropy"),
+            )
+        )
+
     top2 = F.when(
         F.size(g2) > 0,
         F.array_max(

@@ -367,7 +367,8 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = spark.range(n).mapInPandas(
         gen, "clip_id string, bytes binary, codec string, sr_hz int"
     )
-    fps = audio_fingerprints(clips)
+    # exact-only pass: parts skips the rfft behind phash/frames (r04 #4)
+    fps = audio_fingerprints(clips, parts=("content_fp",))
     return audio_exact_duplicates(fps)
 
 

@@ -83,6 +83,53 @@ def test_audio_fingerprints_null_sr_and_registered_codec(spark):
     assert fps["reg"].content_fp == fps["plain"].content_fp
 
 
+def test_audio_fingerprints_parts_skip_spectra(spark):
+    """VERDICT r04 #4: an exact-only fingerprint pass must never run the
+    rfft spectra pass (the dominant post-decode cost). Structural check via
+    the injectable ``spectra`` hook on the per-clip kernel — a worker-side
+    call count is unobservable from the driver — plus the end-to-end
+    contract that unrequested parts come back NULL with stable schema."""
+    import pytest
+
+    from anzlic_validator_spark.operators.audio_dedup import (
+        _fingerprint_one,
+        _frame_spectra,
+    )
+
+    sr = 8000
+    pcm = ref_signal(2, sr, sr // 2, seed=7)
+    raw = encode(pcm, sr, "pcm_s16le")
+    calls = []
+
+    def counting_spectra(x):
+        calls.append(1)
+        return _frame_spectra(x)
+
+    cf, ph, fr, err = _fingerprint_one(
+        raw, "pcm_s16le", sr, {}, False, False, spectra=counting_spectra
+    )
+    assert err is None and cf and ph is None and fr is None
+    assert calls == []  # exact-only: spectra never computed
+    cf2, ph2, fr2, err2 = _fingerprint_one(
+        raw, "pcm_s16le", sr, {}, True, True, spectra=counting_spectra
+    )
+    assert len(calls) == 1 and err2 is None  # ONE shared pass for both parts
+    assert cf2 == cf and ph2 is not None and fr2
+    df = spark.createDataFrame(
+        [Row(clip_id="x", bytes=raw, codec="pcm_s16le", sr_hz=sr)]
+    )
+    full = audio_fingerprints(df).collect()[0]
+    lean = audio_fingerprints(df, parts=("content_fp",)).collect()[0]
+    assert lean.content_fp == full.content_fp
+    assert lean.phash is None and lean.frames is None and lean.err is None
+    frames_only = audio_fingerprints(df, parts=("frames",)).collect()[0]
+    assert frames_only.content_fp is None and frames_only.frames == full.frames
+    with pytest.raises(ValueError, match="parts"):
+        audio_fingerprints(df, parts=("bogus",))
+    with pytest.raises(ValueError, match="parts"):
+        audio_fingerprints(df, parts=())
+
+
 def test_frame_subfingerprints_and_frame_near_dup(spark):
     """Frame-half matching (the Haitsma-Kalker search shape): noisy copies
     share many exact halves, unrelated signals few; the Spark operator

@@ -100,6 +100,27 @@ def test_cc_final_plan_is_checkpoint_scan(spark):
     assert "ExistingRDD" in plan  # the checkpointed RDD scan
 
 
+def test_cc_frees_superseded_round_checkpoints(spark):
+    """ADVICE r04: each round eagerly localCheckpoints 2 label tables; the
+    superseded rounds' blocks must be RELEASED as the iteration advances,
+    not accumulate until the nondeterministic ContextCleaner pass. Only the
+    final round's checkpoint (backing the returned DataFrame) may remain."""
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    # a 61-vertex path needs >=4 pointer-jumping rounds -> >=9 checkpoints
+    # created in total; without the eager free they would all linger
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a_id long, b_id long"
+    )
+    out = connected_components(pairs)
+    assert len(out.collect()) == 61
+    assert n_persistent() <= before + 1
+
+
 def test_deduplicate_keep_one(spark):
     from anzlic_validator_spark.operators.clusters import deduplicate
 

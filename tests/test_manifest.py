@@ -237,7 +237,17 @@ def test_vendored_iceberg_metadata_fixture(tmp_path):
     ``metadata/`` dir (full v2 documents with schemas/partition-specs/
     snapshots/refs, not the minimal synthetic dicts the other tests build)
     exercises the JSON metadata layer against the real document shape —
-    no Iceberg jars involved."""
+    no Iceberg jars involved.
+
+    Fixture self-consistency (ADVICE r04): the partition spec's ``bucket``
+    field is an IDENTITY transform of schema field 7 — the engine-
+    materialized key-hash bucket column, the exact layout
+    ``iceberg_partition_fingerprints`` qualifies (a ``bucket[N]`` transform
+    would model the murmur3 layout the engine deliberately rejects). The
+    companion ``data/bucket=2/f1.parquet`` is a PLACEHOLDER byte (never
+    read as parquet): the JSON layer under test only ever stats data files,
+    and the metadata's file counts describe the fictional warehouse, not
+    the vendored tree."""
     import shutil
 
     from anzlic_validator_spark.manifest import input_snapshot
@@ -248,6 +258,17 @@ def test_vendored_iceberg_metadata_fixture(tmp_path):
 
     fixture = os.path.join(os.path.dirname(__file__), "data", "iceberg_table")
     assert latest_metadata_file(fixture).endswith("v2.metadata.json")
+    # spec-consistency guard: every partition field's source-id must exist
+    # in the current schema, and 'bucket' must be identity of the
+    # materialized bucket column (id 7), not a transform of another field
+    with open(os.path.join(fixture, "metadata", "v2.metadata.json")) as fh:
+        doc = json.load(fh)
+    schema_ids = {f["id"] for s in doc["schemas"] for f in s["fields"]}
+    for spec in doc["partition-specs"]:
+        for pf in spec["fields"]:
+            assert pf["source-id"] in schema_ids
+    (bucket_pf,) = doc["partition-specs"][0]["fields"]
+    assert bucket_pf["transform"] == "identity" and bucket_pf["source-id"] == 7
     snap = iceberg_snapshot(fixture)
     assert snap == {
         "snapshot_id": 3051729675574597004,

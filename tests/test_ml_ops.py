@@ -329,6 +329,35 @@ def test_repetition_features(spark):
     assert abs(r2.char_entropy - 1.5849) < 1e-3  # 3 chars, uniform
 
 
+def test_repetition_features_shuffle_strategy_identical(spark):
+    """ADVICE r04: the explode+groupBy strategy (the long-doc scale path for
+    the quadratic top-share/entropy counts) must produce IDENTICAL values to
+    the pure-Catalyst default on every edge case — repeated content, single
+    token, uniform chars, and a genuinely long repetitive doc."""
+    from anzlic_validator_spark.operators.text import repetition_features
+
+    rows = [
+        (1, "a b\na b\nc d"),
+        (2, "x y"),
+        (3, "z"),                       # no bigrams -> coalesced 0.0 metrics
+        (4, "aaaa"),                    # single repeated char: entropy 0
+        (5, " ".join(["tok%d" % (i % 7) for i in range(400)])),  # long + repetitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cat = {r.doc_id: r for r in repetition_features(df, "text", "doc_id").collect()}
+    shf = {
+        r.doc_id: r
+        for r in repetition_features(df, "text", "doc_id", strategy="shuffle").collect()
+    }
+    assert set(cat) == set(shf)
+    for k in cat:
+        assert cat[k] == shf[k], f"doc {k}: {cat[k]} != {shf[k]}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        repetition_features(df, "text", "doc_id", strategy="bogus")
+
+
 def test_winnow_fingerprints_and_near_dups(spark):
     """Winnowing (MOSS): shared token runs >= w+k-1 guarantee a shared
     fingerprint; unrelated docs share none; short docs degrade to a single
