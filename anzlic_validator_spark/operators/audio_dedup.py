@@ -18,6 +18,9 @@ them; these operators dedup by DECODED CONTENT:
 - ``audio_near_duplicates``: Hamming-radius pairs over the perceptual hash
   via the same pigeonhole sub-key LSH as SimHash (``hamming_lsh_pairs``)
   — bounded buckets, one shuffle, exact Hamming verify.
+- ``audio_verify_pairs``: decode-free VERIFY stage over candidate pairs —
+  best-offset bit-error-rate on the ordered per-frame subfingerprint
+  sequences (the Haitsma-Kalker acceptance test), pure Catalyst.
 
 Reference analog: the duplicate-field sweep (testing-dublin-core.py:72-83),
 lifted from metadata equality to decoded-payload equality.
@@ -73,13 +76,24 @@ def _band_energies(pcm: np.ndarray, sr: int, n_bands: int) -> np.ndarray:
     return _fold_bands(_frame_spectra(pcm), sr, n_bands)
 
 
-def _halves_from_bands(e: np.ndarray) -> np.ndarray:
+def _subfps_from_bands(e: np.ndarray) -> np.ndarray:
+    """Ordered per-frame 32-bit subfingerprints (33 band-energy-delta signs
+    → 32 bits each), as uint32 — the Haitsma-Kalker frame hash sequence.
+    Frame ORDER is preserved: the verify stage aligns two clips' sequences
+    and measures bit error rate, which set semantics would destroy."""
     d = e[:, :-1] - e[:, 1:]  # (n_frames, 32)
     bits = (d > 0).astype(np.uint32)
-    full = (bits << np.arange(32, dtype=np.uint32)).sum(axis=1, dtype=np.uint32)
+    return (bits << np.arange(32, dtype=np.uint32)).sum(axis=1, dtype=np.uint32)
+
+
+def _halves_from_subfps(full: np.ndarray) -> np.ndarray:
     lo = (full & np.uint32(0xFFFF)).astype(np.int64)
     hi = (full >> np.uint32(16)).astype(np.int64) + (1 << 16)
     return np.unique(np.concatenate([lo, hi]))
+
+
+def _halves_from_bands(e: np.ndarray) -> np.ndarray:
+    return _halves_from_subfps(_subfps_from_bands(e))
 
 
 def frame_subfingerprint_halves(pcm: np.ndarray, sr: int) -> np.ndarray:
@@ -110,7 +124,7 @@ def _phash64(pcm: np.ndarray, sr: int) -> int:
     measured on the synthetic corpus, noisy-copy distance can reach ~16
     bits while unrelated-signal minimum distance can dip to ~8 at 40+
     clips, so radius tuning is corpus-dependent and candidate pairs should
-    be verified (e.g. PCM cross-correlation). A production matcher keeps
+    be verified (``audio_verify_pairs``). A production matcher keeps
     the PER-FRAME 32-bit subfingerprints and counts frame matches
     (Haitsma-Kalker's actual search structure) — exactly what
     ``frame_subfingerprint_halves`` + ``audio_near_duplicates_frames``
@@ -119,7 +133,7 @@ def _phash64(pcm: np.ndarray, sr: int) -> int:
     return _phash64_from_bands(_band_energies(pcm, sr, _N_BANDS))
 
 
-_FP_PARTS = ("content_fp", "phash", "frames")
+_FP_PARTS = ("content_fp", "phash", "frames", "subfp")
 
 
 def _fingerprint_one(
@@ -129,19 +143,23 @@ def _fingerprint_one(
     registry: dict,
     want_phash: bool,
     want_frames: bool,
+    want_subfp: bool = False,
     spectra=_frame_spectra,
 ) -> tuple:
-    """One clip → (content_fp, phash, frames, err). The spectra pass (the
-    UDF's dominant cost after decode) runs ONLY when a perceptual part was
-    requested; ``spectra`` is injectable so tests can pin that structurally
-    (a worker-side call-count can't be observed from the driver)."""
+    """One clip → (content_fp, phash, frames, subfp, err). The spectra pass
+    (the UDF's dominant cost after decode) runs ONLY when a perceptual part
+    was requested; ``spectra`` is injectable so tests can pin that
+    structurally (a worker-side call-count can't be observed from the
+    driver). ``frames`` (distinct tagged halves, the LSH candidate key) and
+    ``subfp`` (the ORDERED per-frame 32-bit sequence, the verify input)
+    derive from the same band fold."""
     pcm, sr_emb, err = decode(bb, cc, registry)
     if err is not None or pcm is None:
-        return None, None, None, err or "decode failed"
+        return None, None, None, None, err or "decode failed"
     s16 = _to_s16(pcm)
     content_fp = hashlib.md5(s16.tobytes()).hexdigest()
-    if not (want_phash or want_frames):
-        return content_fp, None, None, None
+    if not (want_phash or want_frames or want_subfp):
+        return content_fp, None, None, None, None
     # NULL sr_hz arrives as NaN (pandas nullable-int → float64);
     # int(NaN) would abort the task, violating the never-fail contract
     if sr_emb:
@@ -153,14 +171,18 @@ def _fingerprint_one(
     pcm64 = s16.astype(np.float64) / 32767.0
     # ONE rfft pass per clip, folded into both band sets (review r04)
     spec = spectra(pcm64)
-    phash = frames = None
+    phash = frames = subfp = None
     if want_phash:
         ph = _phash64_from_bands(_fold_bands(spec, rate, _N_BANDS))
         # view as int64 (phash is a uint64 bit pattern; Spark long)
         phash = int(np.uint64(ph).view(np.int64))
-    if want_frames:
-        frames = _halves_from_bands(_fold_bands(spec, rate, 33)).tolist()
-    return content_fp, phash, frames, None
+    if want_frames or want_subfp:
+        full = _subfps_from_bands(_fold_bands(spec, rate, 33))
+        if want_frames:
+            frames = _halves_from_subfps(full).tolist()
+        if want_subfp:
+            subfp = full.astype(np.int64).tolist()
+    return content_fp, phash, frames, subfp, None
 
 
 def audio_fingerprints(
@@ -169,14 +191,16 @@ def audio_fingerprints(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
     sr_col: str = "sr_hz",
-    parts: tuple = _FP_PARTS,
+    parts: tuple = ("content_fp", "phash", "frames"),
 ) -> DataFrame:
-    """→ (key, content_fp, phash, frames, err): decode each clip once and
-    emit the exact content fingerprint (md5 hex of canonical s16 PCM), the
-    clip-level perceptual hash, and the per-frame tagged half
-    subfingerprints (frame-match near-dup input); undecodable clips carry
-    err and NULL fingerprints — a violation for the rule catalog, never a
-    task failure.
+    """→ (key, content_fp, phash, frames, subfp, err): decode each clip
+    once and emit the exact content fingerprint (md5 hex of canonical s16
+    PCM), the clip-level perceptual hash, the per-frame tagged half
+    subfingerprints (frame-match near-dup CANDIDATE input), and — when
+    requested via ``parts`` — the ordered per-frame 32-bit subfingerprint
+    sequence (``subfp``, the near-dup VERIFY input, see
+    audio_verify_pairs); undecodable clips carry err and NULL fingerprints
+    — a violation for the rule catalog, never a task failure.
 
     ``parts`` selects which fingerprints to compute (VERDICT r04 #4): an
     exact-only dedup pass — the most common call — should request
@@ -196,24 +220,30 @@ def audio_fingerprints(
     want_content = "content_fp" in parts
     want_phash = "phash" in parts
     want_frames = "frames" in parts
+    want_subfp = "subfp" in parts
 
-    @F.pandas_udf("content_fp string, phash long, frames array<long>, err string")
+    @F.pandas_udf(
+        "content_fp string, phash long, frames array<long>, subfp array<long>, err string"
+    )
     def fp(b: pd.Series, codec: pd.Series, sr: pd.Series) -> pd.DataFrame:
-        out = {"content_fp": [], "phash": [], "frames": [], "err": []}
+        out = {"content_fp": [], "phash": [], "frames": [], "subfp": [], "err": []}
         for bb, cc, ss in zip(b, codec, sr):
-            content_fp, phash, frames, err = _fingerprint_one(
-                bb, cc, ss, registry, want_phash, want_frames
+            content_fp, phash, frames, subfp, err = _fingerprint_one(
+                bb, cc, ss, registry, want_phash, want_frames, want_subfp
             )
             out["content_fp"].append(content_fp if want_content else None)
             out["phash"].append(phash)
             out["frames"].append(frames)
+            out["subfp"].append(subfp)
             out["err"].append(err)
         return pd.DataFrame(out)
 
     return df.select(
         F.col(key_col).alias("key"),
         fp(F.col(bytes_col), F.col(codec_col), F.col(sr_col)).alias("__fp"),
-    ).select("key", "__fp.content_fp", "__fp.phash", "__fp.frames", "__fp.err")
+    ).select(
+        "key", "__fp.content_fp", "__fp.phash", "__fp.frames", "__fp.subfp", "__fp.err"
+    )
 
 
 def audio_exact_duplicates(fps: DataFrame) -> DataFrame:
@@ -276,6 +306,118 @@ def audio_near_duplicates_frames(
         pairs.where(F.col("n_shared") >= min_matches)
         .select(F.col("a.id").alias("a_key"), F.col("b.id").alias("b_key"), "n_shared")
     )
+
+
+def audio_verify_pairs(
+    cand: DataFrame,
+    fps: DataFrame,
+    a_col: str = "a_key",
+    b_col: str = "b_key",
+    max_ber: float = 0.25,
+    max_offset: int = 2,
+) -> DataFrame:
+    """VERIFY stage for audio near-dup candidates (VERDICT r04 #3): the
+    Haitsma-Kalker acceptance test the candidate stage's docstring promises.
+    For each candidate pair, align the two clips' ORDERED per-frame 32-bit
+    subfingerprint sequences (``subfp`` from audio_fingerprints) at every
+    frame offset in [-max_offset, max_offset] and keep the pair iff the
+    best alignment's bit error rate is <= ``max_ber``.
+
+    Why this threshold splits cleanly: a noisy COPY flips a small fraction
+    of subfingerprint bits (measured ~0.05–0.15 BER at 1–3% additive
+    noise), while UNRELATED audio agrees only by coin-flip (BER ≈ 0.5 with
+    tight concentration over hundreds of frame-bits) — the 0.35 bar of
+    Haitsma & Kalker 2002 sits between; 0.25 adds margin on the noise side
+    for this fingerprint's band layout. Shared-half COUNTING (the candidate
+    score) can be fooled by a few colliding halves; the BER over the whole
+    aligned sequence cannot.
+
+    Decode-free and pure Catalyst: one join per side moves subfp arrays
+    for CANDIDATE pairs only (the verify-only-candidates discipline every
+    text LSH family here follows), then the offset sweep runs as array
+    lambdas inside codegen — no second decode, no Python. Pairs whose
+    aligned overlap is empty (offset exceeds a clip) score BER 1.0 and are
+    rejected.
+
+    Returns (a_col, b_col, ber) with ber rounded to 4 decimals.
+    """
+    seqs = fps.where(F.col("subfp").isNotNull()).select(
+        F.col("key"), F.col("subfp")
+    )
+    joined = (
+        cand.join(seqs.select(F.col("key").alias(a_col), F.col("subfp").alias("__sa")), a_col)
+        .join(seqs.select(F.col("key").alias(b_col), F.col("subfp").alias("__sb")), b_col)
+    )
+    sa, sb = F.col("__sa"), F.col("__sb")
+
+    def ber_at(o):
+        # overlap of sa shifted by o against sb: a[1+max(o,0) ...] vs
+        # b[1+max(-o,0) ...], truncated to the common length
+        sh_a = F.greatest(o, F.lit(0))
+        sh_b = F.greatest(-o, F.lit(0))
+        ln = F.least(F.size(sa) - sh_a, F.size(sb) - sh_b)
+        bad = F.aggregate(
+            F.zip_with(
+                F.slice(sa, sh_a + 1, F.greatest(ln, F.lit(0))),
+                F.slice(sb, sh_b + 1, F.greatest(ln, F.lit(0))),
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return F.when(
+            ln > 0, bad.cast("double") / (F.lit(32.0) * ln.cast("double"))
+        ).otherwise(F.lit(1.0))
+
+    ber = F.array_min(
+        F.transform(
+            F.sequence(F.lit(-int(max_offset)), F.lit(int(max_offset))),
+            ber_at,
+        )
+    )
+    return (
+        joined.withColumn("ber", F.round(ber, 4))
+        .where(F.col("ber") <= F.lit(float(max_ber)))
+        .select(a_col, b_col, "ber")
+    )
+
+
+def audio_near_duplicates_verified(
+    fps: DataFrame,
+    min_matches: int = 2,
+    max_bucket_size: int | None = 10_000,
+    max_ber: float = 0.25,
+    max_offset: int = 2,
+    persist_fps: bool = True,
+) -> DataFrame:
+    """Candidates → verify, composed: shared-tagged-half candidate pairs
+    (``audio_near_duplicates_frames``) filtered by the best-offset BER test
+    (``audio_verify_pairs``). ``fps`` must carry ``frames`` AND ``subfp``
+    (audio_fingerprints ``parts=("frames", "subfp")``).
+
+    With the verify stage on, ``min_matches`` drops from the unverified 8
+    to a RECALL bar of 2: measured at 2 % additive noise (2 s clips) the
+    candidate score alone no longer separates (planted copies can share as
+    few as 2 halves while unrelated clips reach 8 by chance) — the BER
+    margin (≤ 0.16 planted vs ≥ 0.34 unrelated) is what decides, so
+    candidates only need to PROPOSE every true pair cheaply. False
+    candidates cost one array comparison each, never a decode.
+
+    ``persist_fps``: the fingerprint table feeds the bucket explode and
+    both sides of the verify join — three consumers of the decode UDF's
+    output. Persisting (MEMORY_AND_DISK; rows are key + fingerprint
+    arrays, never audio bytes) keeps decode-once true. Same ownership
+    contract as minhash's persist_shingles: the operator never sees the
+    consuming action, so long-lived sessions unpersist after consuming or
+    pass ``persist_fps=False``."""
+    if persist_fps:
+        from pyspark import StorageLevel
+
+        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = audio_near_duplicates_frames(fps, min_matches, max_bucket_size).select(
+        "a_key", "b_key"
+    )
+    return audio_verify_pairs(cand, fps, max_ber=max_ber, max_offset=max_offset)
 
 
 def audio_near_duplicates(

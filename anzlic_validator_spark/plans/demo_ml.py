@@ -383,17 +383,20 @@ FROM g WHERE n_clips > 1
 
 
 def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual frame-match near-dup on the gate: 80 clips = 40 signals ×
-    (original + a 1%-additive-noise copy, noise Philox-seeded PER ROW so any
-    executor regenerates it). Byte- and content-level dedup find NOTHING
-    (the copies differ in every sample); frame-subfingerprint matching must
-    recover exactly the 40 planted pairs. The pair set is the contract —
-    n_shared is noise-level-dependent and stays out of the compared output.
-    Thresholds carry measured margin (planted >= 11 shared halves,
-    unrelated <= 6, min_matches=8)."""
+    """Perceptual frame-match near-dup WITH the verify stage on the gate
+    (VERDICT r04 #3): 80 clips = 40 signals × (original + a 2%-additive-
+    noise copy, noise Philox-seeded PER ROW so any executor regenerates
+    it). Byte- and content-level dedup find NOTHING (the copies differ in
+    every sample), and at 2 % noise the CANDIDATE score alone no longer
+    separates either — measured on this fixture, planted copies share as
+    few as 2 tagged halves while unrelated clips reach 8 by chance — so
+    recovering exactly the 40 planted pairs PROVES the BER verify stage
+    does the deciding (planted BER <= 0.16 vs unrelated >= 0.34,
+    bar 0.25). The pair set is the contract; scores stay out of the
+    compared output."""
     from anzlic_validator_spark.operators.audio_dedup import (
         audio_fingerprints,
-        audio_near_duplicates_frames,
+        audio_near_duplicates_verified,
     )
 
     n, sr, n_signals = 80, 8000, 40
@@ -414,7 +417,7 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.random.Philox(key=np.uint64(424242) ^ np.uint64(i))
                     )
                     pcm = np.clip(
-                        pcm + 0.01 * rng.standard_normal(len(pcm)).astype(np.float32),
+                        pcm + 0.02 * rng.standard_normal(len(pcm)).astype(np.float32),
                         -1, 1,
                     )
                 rows.append(
@@ -430,8 +433,8 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = spark.range(n).mapInPandas(
         gen, "clip_id string, bytes binary, codec string, sr_hz int"
     )
-    fps = audio_fingerprints(clips)
-    return audio_near_duplicates_frames(fps, min_matches=8).select("a_key", "b_key")
+    fps = audio_fingerprints(clips, parts=("frames", "subfp"))
+    return audio_near_duplicates_verified(fps).select("a_key", "b_key")
 
 
 SQL_AUDIO_NEARDUP = """
