@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": demo_ml.q_quality,
         "quality_rep": demo_ml.q_quality_rep,
         "langid": demo_ml.q_langid,
+        "decontaminate": demo_ml.q_decontaminate,
         "audio_violations": _audio_violations,
         "audio_verdict_summary": _audio_verdict_summary,
         "stream_unique": demo_incremental.q_stream_unique,
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": demo_ml.SQL_QUALITY,
         "quality_rep": demo_ml.SQL_QUALITY_REP,
         "langid": demo_ml.SQL_LANGID,
+        "decontaminate": demo_ml.SQL_DECONTAMINATE,
         "audio_violations": SQL_AUDIO_VIOLATIONS,
         "audio_verdict_summary": SQL_AUDIO_VERDICT_SUMMARY,
         "stream_unique": demo_incremental.SQL_STREAM_UNIQUE,

@@ -709,6 +709,48 @@ FROM g
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination on the gate (VERDICT r04 #1): the eval
+    corpus is 10-token snippets (tokens 4-13) of every %50 document, so
+    those source documents are contaminated BY CONSTRUCTION (they contain
+    their own snippet); any chance k-gram collision across the tiny-vocab
+    corpus flags identically in both engines because the oracle computes
+    the exact same distinct-gram intersection. Output: (doc_id,
+    n_contaminated) for flagged docs — count of distinct shared 8-grams."""
+    from anzlic_validator_spark.operators.decontaminate import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 4, 10), " ").alias("snippet")
+    )
+    return contamination_hits(
+        docs, ev, "text", "doc_id", eval_text_col="snippet", k=8
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH ev AS (
+  SELECT array_to_string(string_split(text,' ')[4:13], ' ') AS snippet
+  FROM documents WHERE doc_id % 50 = 0
+),
+eg AS (
+  SELECT DISTINCT unnest(CASE WHEN len(t) >= 8 THEN
+      list_distinct(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' ')))
+    ELSE [] END) AS gram
+  FROM (SELECT string_split(snippet,' ') AS t FROM ev)
+),
+dg AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+      list_distinct(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' ')))
+    ELSE [] END) AS gram
+  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+FROM dg JOIN eg USING (gram)
+GROUP BY doc_id
+"""
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anzlic_validator_spark.operators.text import predict_language_from_tokens
 

@@ -177,6 +177,7 @@ QUERY_NAMES = [
     "quality",
     "quality_rep",
     "langid",
+    "decontaminate",
     "stream_unique",
     "stream_unique_state",
     "resume_buckets",

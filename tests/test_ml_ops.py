@@ -358,6 +358,56 @@ def test_repetition_features_shuffle_strategy_identical(spark):
         repetition_features(df, "text", "doc_id", strategy="bogus")
 
 
+def test_decontaminate_k_boundary(spark):
+    """VERDICT r04 #1 'done' bar: the k-gram contamination boundary is
+    EXACT — k-1 shared contiguous tokens must NOT flag, k must; count is
+    distinct shared grams; decontaminate() drops exactly the flagged docs.
+    Also pins the broadcast plan on the default path."""
+    from anzlic_validator_spark.operators.decontaminate import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [("e1 e2 e3 e4 e5 e6 e7 e8",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # full 8-gram embedded -> flagged, exactly one shared gram
+            (1, "x1 e1 e2 e3 e4 e5 e6 e7 e8 x2"),
+            # only 7 contiguous shared tokens (e8 separated) -> clean at k=8
+            (2, "x1 e1 e2 e3 e4 e5 e6 e7 y e8"),
+            # shorter than k tokens -> can never flag
+            (3, "e1 e2 e3 e4 e5 e6 e7"),
+            (4, "completely unrelated words only nothing shared here at all"),
+            # the gram appearing twice still counts ONCE (distinct grams)
+            (5, "e1 e2 e3 e4 e5 e6 e7 e8 z e1 e2 e3 e4 e5 e6 e7 e8"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r.doc_id: r.n_contaminated
+        for r in contamination_hits(docs, ev, "text", "doc_id", k=8).collect()
+    }
+    assert hits == {1: 1, 5: 1}
+    # at k=7 the 7-token runs become grams: docs 2 and 3 now flag too
+    hits7 = {
+        r.doc_id: r.n_contaminated
+        for r in contamination_hits(docs, ev, "text", "doc_id", k=7).collect()
+    }
+    assert set(hits7) == {1, 2, 3, 5} and hits7[1] == 2  # e1..e7 and e2..e8
+    kept = sorted(
+        r.doc_id for r in decontaminate(docs, ev, "text", "doc_id", k=8).collect()
+    )
+    assert kept == [2, 3, 4]
+    # the default plan broadcasts the eval gram set (scale posture)
+    plan = (
+        contamination_hits(docs, ev, "text", "doc_id", k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_winnow_fingerprints_and_near_dups(spark):
     """Winnowing (MOSS): shared token runs >= w+k-1 guarantee a shared
     fingerprint; unrelated docs share none; short docs degrade to a single
