@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_unique": demo_incremental.q_stream_unique,
         "stream_unique_state": demo_incremental.q_stream_unique_state,
         "resume_buckets": demo_incremental.q_resume_buckets,
+        "dedup_incremental": demo_incremental.q_dedup_incremental,
     }
 
 
@@ -271,4 +272,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_unique": demo_incremental.SQL_STREAM_UNIQUE,
         "stream_unique_state": demo_incremental.SQL_STREAM_UNIQUE_STATE,
         "resume_buckets": demo_incremental.SQL_RESUME_BUCKETS,
+        "dedup_incremental": demo_incremental.SQL_DEDUP_INCREMENTAL,
     }

@@ -190,6 +190,72 @@ FROM ids WHERE j % 20 = 3
 """
 
 
+# ------------------------------------------------- incremental dedup state
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup state on the gate (VERDICT r04 #2): two
+    REAL ``incremental_minhash_pairs`` runs against a staged fingerprint
+    store. Run 1 commits the 600-doc base corpus (disjoint 20-token
+    vocabularies per doc → cross-doc Jaccard exactly 0, so the census is
+    closed-form with no natural-near-dup noise — the documents table has
+    25 such pairs at j>=0.85, measured, which is why this query synthesizes
+    its corpus). Run 2 passes ONLY the new rows — exact copies of every %3
+    doc (+10000) and every %6 doc (+20000) — and must emit exactly the
+    new-vs-old and new-vs-new copy pairs at signature agreement 1.0,
+    pairing against STORED signatures (old text is not an input of run 2,
+    structurally). Output: (a_id, b_id, sig_sim)."""
+    from anzlic_validator_spark.operators.dedup_state import (
+        incremental_minhash_pairs,
+    )
+
+    def mk(df: DataFrame) -> DataFrame:
+        # df: (d = source index, doc_id); text = 20 globally-unique tokens
+        return df.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(19)),
+                    lambda j: F.concat(
+                        F.lit("t"), (F.col("d") * 20 + j).cast("string")
+                    ),
+                ),
+            ).alias("text"),
+        )
+
+    base = tempfile.mkdtemp(prefix="sg_dedup_state_")
+    try:
+        store = os.path.join(base, "store")
+        docs = mk(spark.range(600).select(F.col("id").alias("d"), F.col("id").alias("doc_id")))
+        p1 = incremental_minhash_pairs(docs, store, "text", "doc_id")
+        if p1.count() != 0:  # dup-free base: run 1 must report nothing
+            raise RuntimeError("dedup_incremental: run 1 emitted unexpected pairs")
+        e1 = mk(
+            spark.range(600).where(F.col("id") % 3 == 0)
+            .select(F.col("id").alias("d"), (F.col("id") + 10000).alias("doc_id"))
+        )
+        e2 = mk(
+            spark.range(600).where(F.col("id") % 6 == 0)
+            .select(F.col("id").alias("d"), (F.col("id") + 20000).alias("doc_id"))
+        )
+        p2 = incremental_minhash_pairs(e1.unionByName(e2), store, "text", "doc_id")
+        rows = p2.collect()  # materialize before the temp store disappears
+        return spark.createDataFrame(rows, "a_id long, b_id long, sig_sim double")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH d AS (SELECT CAST(r.range AS BIGINT) AS d FROM range(600) r)
+SELECT d AS a_id, d + 10000 AS b_id, CAST(1.0 AS DOUBLE) AS sig_sim FROM d WHERE d % 3 = 0
+UNION ALL
+SELECT d, d + 20000, CAST(1.0 AS DOUBLE) FROM d WHERE d % 6 = 0
+UNION ALL
+SELECT d + 10000, d + 20000, CAST(1.0 AS DOUBLE) FROM d WHERE d % 6 = 0
+"""
+
+
 # -------------------------------------------------------------- resume
 
 _RESUME_RULES = """\

@@ -181,6 +181,7 @@ QUERY_NAMES = [
     "stream_unique",
     "stream_unique_state",
     "resume_buckets",
+    "dedup_incremental",
 ]
 
 
