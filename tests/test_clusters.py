@@ -100,6 +100,35 @@ def test_cc_final_plan_is_checkpoint_scan(spark):
     assert "ExistingRDD" in plan  # the checkpointed RDD scan
 
 
+def test_cc_giant_component_hot_label_rounds(spark):
+    """VERDICT r04 #5 skew evidence: one giant component with 10^5 edges
+    through a single hot vertex (star on hub 0) plus a 64-hop path grafted
+    on — the shape that makes the min-label groupBy and the label joins
+    skew-prone at scale. Pins the scale-invariant properties: exact labels
+    (everything floods to 0) and the O(log d) pointer-jumping round count
+    (~log2(path) rounds, NOT O(d) — plain hash-min would need ~65). See
+    connected_components' skew-posture docstring for why partial agg + AQE
+    absorb the hot key itself."""
+    star = spark.range(1, 100_001).select(
+        F.lit(0).alias("a_id"), F.col("id").alias("b_id")
+    )
+    path = spark.range(200_000, 200_063).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    graft = spark.createDataFrame([(1, 200_000)], "a_id long, b_id long")
+    pairs = star.unionByName(path).unionByName(graft)
+    stats = {}
+    out = connected_components(pairs, stats=stats)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+        F.min("cluster_id").alias("m"),
+    ).collect()[0]
+    assert (agg.n, agg.k, agg.m) == (100_065, 1, 0)
+    # path diameter 64: pointer jumping needs ~log2 rounds; O(d) would be >60
+    assert 4 <= stats["rounds"] <= 10, stats
+
+
 def test_cc_frees_superseded_round_checkpoints(spark):
     """ADVICE r04: each round eagerly localCheckpoints 2 label tables; the
     superseded rounds' blocks must be RELEASED as the iteration advances,
