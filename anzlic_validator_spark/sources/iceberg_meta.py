@@ -131,25 +131,9 @@ def iceberg_partition_fingerprints(spark, path: str, n_buckets: int) -> dict[int
     """
     if spark is None or not _iceberg_runtime(spark):
         return None
-    from pyspark.sql import functions as F
-
     try:
         files = spark.read.format("iceberg").load(f"{path}#files")
-        cols = {f.name for f in files.schema.fields}
-        if "partition" not in cols:
-            return None
-        part_fields = {f.name for f in files.schema["partition"].dataType.fields}
-        if "bucket" not in part_fields:
-            return None
-        rows = (
-            files.selectExpr(
-                "partition.bucket AS bucket",
-                "xxhash64(file_path, file_size_in_bytes, record_count) AS h",
-            )
-            .groupBy("bucket")
-            .agg(F.sum("h").alias("hsum"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        return _bucket_fingerprints_from_files(files, n_buckets)
     except Exception as exc:
         # degradation must be diagnosable, not silent: the run still works,
         # at all-bucket granularity
@@ -158,6 +142,40 @@ def iceberg_partition_fingerprints(spark, path: str, n_buckets: int) -> dict[int
             "table-level snapshot fingerprints", path, type(exc).__name__, exc
         )
         return None
+
+
+def _bucket_fingerprints_from_files(files, n_buckets: int) -> dict[int, str] | None:
+    """The ``#files``-branch aggregation, factored off the runtime read so
+    it is testable against a synthetic metadata-shaped DataFrame in images
+    without Iceberg jars (VERDICT r04 #6): schema qualification (identity
+    ``bucket`` partition field), executor-side order-insensitive per-bucket
+    fingerprints, and the residue rule — files in out-of-range/NULL buckets
+    poison EVERY bucket's fingerprint, because such files are outside the
+    layout contract and any of them may hold any key."""
+    from pyspark.sql import functions as F
+
+    cols = {f.name for f in files.schema.fields}
+    if "partition" not in cols:
+        return None
+    part_fields = {f.name for f in files.schema["partition"].dataType.fields}
+    if "bucket" not in part_fields:
+        return None
+    rows = (
+        files.selectExpr(
+            "partition.bucket AS bucket",
+            "xxhash64(file_path, file_size_in_bytes, record_count) AS h",
+        )
+        # sum as decimal(38,0): a LONG sum of 64-bit hashes overflows (and
+        # under ANSI mode ABORTS) with as few as two files — caught by the
+        # runtime-free #files test the moment it existed (r05); decimal
+        # keeps the order-insensitive sum exact to ~10^19 files
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("hsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
     per: dict[int, tuple] = {}
     residue: list = []
     for r in rows:
