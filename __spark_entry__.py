@@ -18,7 +18,9 @@ Operator coverage map (SURVEY §2 → query):
   dedup (exact/minhash/simhash/embedding) dedup_exact / dedup_minhash /
                                   dedup_simhash / dedup_embedding
   similarity (brute / LSH) ...... ann_bruteforce / ann_lsh
-  text analysis ................. quality / langid
+  text analysis ................. quality / quality_rep / langid
+  decontamination ............... decontaminate
+  incremental dedup state ....... dedup_incremental
   R18 audio decode (full catalog) audio_violations / audio_verdict_summary
 """
 
@@ -228,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_unique_state": demo_incremental.q_stream_unique_state,
         "resume_buckets": demo_incremental.q_resume_buckets,
         "dedup_incremental": demo_incremental.q_dedup_incremental,
+        "audio_dedup_incremental": demo_incremental.q_audio_dedup_incremental,
     }
 
 
@@ -273,4 +276,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_unique_state": demo_incremental.SQL_STREAM_UNIQUE_STATE,
         "resume_buckets": demo_incremental.SQL_RESUME_BUCKETS,
         "dedup_incremental": demo_incremental.SQL_DEDUP_INCREMENTAL,
+        "audio_dedup_incremental": demo_incremental.SQL_AUDIO_DEDUP_INCREMENTAL,
     }

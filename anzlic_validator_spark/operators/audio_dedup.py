@@ -382,6 +382,73 @@ def audio_verify_pairs(
     )
 
 
+def incremental_audio_dedup(
+    new_clips: DataFrame,
+    store_dir: str,
+    key_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    commit: bool = True,
+) -> DataFrame:
+    """Cross-run incremental AUDIO content dedup — the audio-payload twin
+    of operators/dedup_state.incremental_minhash_pairs, sharing its store
+    layout (atomic run commits + meta guard): a persisted
+    (key, content_fp) store means run N+1 DECODES ONLY ITS NEW CLIPS —
+    decode is the dominant cost of the audio pass, and old clips' bytes
+    are structurally not an input — and matches them against stored
+    fingerprints.
+
+    Returns exact-content duplicate pairs ``(a_key, b_key)`` involving at
+    least one new clip (a_key < b_key; new-vs-old and new-vs-new;
+    old-vs-old was reported by the run that introduced it). Undecodable
+    new clips (NULL content_fp) are committed to the store as NULL rows —
+    they can never match — preserving the never-fail decode contract.
+
+    Scale shape: one Arrow decode pass over the new batch only; the store
+    read is a payload-free (key, 32-hex content_fp) parquet scan; ONE join
+    on content_fp with the small new side broadcastable against a
+    10^12-row store."""
+    from anzlic_validator_spark.operators.dedup_state import (
+        check_store_meta,
+        commit_store_run,
+        store_run_dirs,
+    )
+
+    spark = new_clips.sparkSession
+    check_store_meta(store_dir, {"kind": "audio_content_fp"}, create=commit)
+    prior = store_run_dirs(store_dir)
+    new_fps = audio_fingerprints(
+        new_clips, key_col, bytes_col, codec_col, sr_col, parts=("content_fp",)
+    ).select("key", "content_fp")
+    if commit:
+        # the commit write is the batch's ONE decode pass; the pair plan
+        # below reads fingerprints back from parquet
+        new_fps = commit_store_run(new_fps, store_dir, len(prior))
+    else:
+        from pyspark import StorageLevel
+
+        new_fps = new_fps.persist(StorageLevel.MEMORY_AND_DISK)
+    all_fps = (
+        spark.read.parquet(*prior).unionByName(new_fps) if prior else new_fps
+    )
+    nf = new_fps.where(F.col("content_fp").isNotNull()).withColumnRenamed(
+        "key", "n_key"
+    )
+    af = all_fps.where(F.col("content_fp").isNotNull()).withColumnRenamed(
+        "key", "o_key"
+    )
+    return (
+        nf.join(af, "content_fp")
+        .where(F.col("n_key") != F.col("o_key"))
+        .select(
+            F.least("n_key", "o_key").alias("a_key"),
+            F.greatest("n_key", "o_key").alias("b_key"),
+        )
+        .distinct()
+    )
+
+
 def audio_near_duplicates_verified(
     fps: DataFrame,
     min_matches: int = 2,

@@ -61,6 +61,14 @@ def _store_meta(num_hashes: int, n_bands: int, shingle_k: int) -> dict:
     return {"num_hashes": num_hashes, "n_bands": n_bands, "shingle_k": shingle_k}
 
 
+def check_store_meta(store_dir: str, meta: dict, create: bool) -> None:
+    """Validate (or, on first commit, pin) a fingerprint store's parameter
+    metadata. Shared by the text-minhash store and the audio content store
+    (operators/audio_dedup.incremental_audio_dedup): signatures computed
+    under different parameters must never silently mix."""
+    return _check_meta(store_dir, meta, create)
+
+
 def _check_meta(store_dir: str, meta: dict, create: bool) -> None:
     path = os.path.join(store_dir, "meta.json")
     if os.path.exists(path):
@@ -87,6 +95,24 @@ def _run_dirs(store_dir: str) -> list[str]:
         if _RUN_RE.match(name):
             out.append(os.path.join(store_dir, name))
     return out
+
+
+def store_run_dirs(store_dir: str) -> list[str]:
+    """Committed run directories of a fingerprint store, oldest first."""
+    return _run_dirs(store_dir)
+
+
+def commit_store_run(df: DataFrame, store_dir: str, run_id: int) -> DataFrame:
+    """Atomically commit one batch's fingerprints as ``run_<id>`` (write to
+    a temp dir inside the store, then same-fs rename — a crash never leaves
+    a half-visible run) and return the READ-BACK DataFrame, making the
+    write the batch's single fingerprint materialization."""
+    spark = df.sparkSession
+    final = os.path.join(store_dir, f"run_{run_id:05d}")
+    tmp = os.path.join(store_dir, f".tmp_run_{run_id:05d}")
+    df.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, final)
+    return spark.read.parquet(final)
 
 
 def minhash_sigs(
@@ -165,13 +191,8 @@ def incremental_minhash_pairs(
 
     new_sigs = minhash_sigs(new_docs, text_col, id_col, num_hashes, shingle_k)
     if commit:
-        run_id = len(prior)
-        final = os.path.join(store_dir, f"run_{run_id:05d}")
-        tmp = os.path.join(store_dir, f".tmp_run_{run_id:05d}")
-        new_sigs.write.mode("overwrite").parquet(tmp)
-        os.replace(tmp, final)
         # read back: the ONE signature computation per row, ever
-        new_sigs = spark.read.parquet(final)
+        new_sigs = commit_store_run(new_sigs, store_dir, len(prior))
     else:
         from pyspark import StorageLevel
 

@@ -256,6 +256,83 @@ SELECT d + 10000, d + 20000, CAST(1.0 AS DOUBLE) FROM d WHERE d % 6 = 0
 """
 
 
+def q_audio_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AUDIO content dedup on the gate: run 1 commits 60
+    distinct-signal clips (codec rotating pcm/wav/flac) to a staged
+    fingerprint store — no pairs. Run 2 passes ONLY new clips: re-encodes
+    of every %3 signal under a DIFFERENT codec (+100 keys), a second
+    re-encode of every %6 signal (+200), and one truncated-flac clip
+    (decode error → NULL fingerprint, must pair with nothing). Expected:
+    exactly the new-vs-old and new-vs-new codec-invariant content matches
+    — byte comparison finds none of them, and run 2 never decodes (or even
+    receives) run 1's bytes. Census is closed-form row arithmetic."""
+    from anzlic_validator_spark.operators.audio_dedup import incremental_audio_dedup
+
+    sr = 8000
+
+    def gen(specs_name):
+        # specs resolved worker-side from the row index; seed pinned
+        def inner(batches):
+            import pandas as pd
+
+            from anzlic_validator_spark.functions.audio import encode, ref_signal
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if specs_name == "base":
+                        key, j, ci, trunc = i, i, i % 3, False
+                    elif i < 20:  # re-encode of j=3i under the next codec
+                        j = 3 * i
+                        key, ci, trunc = j + 100, (j + 1) % 3, False
+                    elif i < 30:  # second re-encode of j=6(i-20)
+                        j = 6 * (i - 20)
+                        key, ci, trunc = j + 200, (j + 2) % 3, False
+                    else:  # one undecodable clip
+                        key, j, ci, trunc = 300, 0, 2, True
+                    codec = ("pcm_s16le", "wav", "flac")[ci]
+                    b = encode(ref_signal(j, sr, sr // 2, seed=888), sr, codec)
+                    if trunc:
+                        b = b[: max(1, len(b) // 3)]
+                    rows.append(
+                        {"clip_id": f"ai-{key:04d}", "bytes": b,
+                         "codec": codec, "sr_hz": sr}
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["clip_id", "bytes", "codec", "sr_hz"]
+                )
+
+        return inner
+
+    schema = "clip_id string, bytes binary, codec string, sr_hz int"
+    base = tempfile.mkdtemp(prefix="sg_audio_state_")
+    try:
+        store = os.path.join(base, "store")
+        run1 = spark.range(60).mapInPandas(gen("base"), schema)
+        p1 = incremental_audio_dedup(run1, store)
+        if p1.count() != 0:
+            raise RuntimeError("audio_dedup_incremental: run 1 emitted pairs")
+        run2 = spark.range(31).mapInPandas(gen("new"), schema)
+        p2 = incremental_audio_dedup(run2, store)
+        rows = p2.collect()  # materialize before the temp store disappears
+        return spark.createDataFrame(rows, "a_key string, b_key string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_AUDIO_DEDUP_INCREMENTAL = """
+WITH j AS (SELECT CAST(r.range AS BIGINT) AS j FROM range(60) r),
+k AS (SELECT j, 'ai-' || lpad(CAST(j AS VARCHAR), 4, '0') AS orig,
+             'ai-' || lpad(CAST(j + 100 AS VARCHAR), 4, '0') AS c1,
+             'ai-' || lpad(CAST(j + 200 AS VARCHAR), 4, '0') AS c2
+      FROM j)
+SELECT orig AS a_key, c1 AS b_key FROM k WHERE j % 3 = 0
+UNION ALL SELECT orig, c2 FROM k WHERE j % 6 = 0
+UNION ALL SELECT c1, c2 FROM k WHERE j % 6 = 0
+"""
+
+
 # -------------------------------------------------------------- resume
 
 _RESUME_RULES = """\

@@ -182,6 +182,7 @@ QUERY_NAMES = [
     "stream_unique_state",
     "resume_buckets",
     "dedup_incremental",
+    "audio_dedup_incremental",
 ]
 
 

@@ -107,6 +107,57 @@ def test_commit_false_writes_nothing(spark, tmp_path):
     assert not os.path.exists(store)  # a what-if probe leaves no state
 
 
+def test_incremental_audio_dedup_store(spark, tmp_path):
+    """Audio twin of the minhash store: run 2 decodes only its new clips
+    and matches codec-invariant content against STORED fingerprints; the
+    pair plan contains no decode (no ArrowEvalPython) after commit; NULL
+    fingerprints (decode failures) never match; run-1 store files are
+    immutable."""
+    from anzlic_validator_spark.functions.audio import encode, ref_signal
+    from anzlic_validator_spark.operators.audio_dedup import incremental_audio_dedup
+
+    sr = 8000
+
+    def clip(key, j, codec, trunc=False):
+        b = encode(ref_signal(j, sr, sr // 2, seed=11), sr, codec)
+        if trunc:
+            b = b[: len(b) // 3]
+        return (key, b, codec, sr)
+
+    schema = "clip_id string, bytes binary, codec string, sr_hz int"
+    store = str(tmp_path / "astore")
+    run1 = spark.createDataFrame(
+        [clip("a0", 0, "pcm_s16le"), clip("a1", 1, "wav"), clip("a2", 2, "flac")],
+        schema,
+    )
+    assert incremental_audio_dedup(run1, store).count() == 0
+    state1 = _file_state(os.path.join(store, "run_00000"))
+    run2 = spark.createDataFrame(
+        [
+            clip("b0", 0, "flac"),       # same signal as a0, other codec
+            clip("b0x", 0, "wav"),       # second re-encode -> new-vs-new too
+            clip("b9", 9, "wav"),        # fresh signal: no pair
+            clip("bad", 1, "flac", trunc=True),  # decode error: no pair
+        ],
+        schema,
+    )
+    p2 = incremental_audio_dedup(run2, store)
+    got = sorted((r.a_key, r.b_key) for r in p2.collect())
+    assert got == [("a0", "b0"), ("a0", "b0x"), ("b0", "b0x")]
+    assert _file_state(os.path.join(store, "run_00000")) == state1
+    plan = p2._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "Scan parquet" in plan
+    # the undecodable clip was committed as a NULL row (never-fail contract)
+    r1 = spark.read.parquet(os.path.join(store, "run_00001"))
+    bad = [r for r in r1.collect() if r.key == "bad"]
+    assert len(bad) == 1 and bad[0].content_fp is None
+    # parameter-kind guard shared with the text store
+    with pytest.raises(ValueError, match="incompatible"):
+        incremental_minhash_pairs(
+            _docs(spark, [(1, _vocab_doc(1))]), store, "text", "doc_id"
+        )
+
+
 def test_minhash_sigs_match_store_reread(spark, tmp_path):
     """The signatures the verify stage reads back from parquet are the
     signatures the plan computed — i.e. sig arrays round-trip exactly."""
