@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_buckets": demo_incremental.q_resume_buckets,
         "dedup_incremental": demo_incremental.q_dedup_incremental,
         "audio_dedup_incremental": demo_incremental.q_audio_dedup_incremental,
+        "stream_dedup": demo_incremental.q_stream_dedup,
     }
 
 
@@ -277,4 +278,5 @@ def oracle_sql() -> dict[str, str]:
         "resume_buckets": demo_incremental.SQL_RESUME_BUCKETS,
         "dedup_incremental": demo_incremental.SQL_DEDUP_INCREMENTAL,
         "audio_dedup_incremental": demo_incremental.SQL_AUDIO_DEDUP_INCREMENTAL,
+        "stream_dedup": demo_incremental.SQL_STREAM_DEDUP,
     }

@@ -106,11 +106,20 @@ def commit_store_run(df: DataFrame, store_dir: str, run_id: int) -> DataFrame:
     """Atomically commit one batch's fingerprints as ``run_<id>`` (write to
     a temp dir inside the store, then same-fs rename — a crash never leaves
     a half-visible run) and return the READ-BACK DataFrame, making the
-    write the batch's single fingerprint materialization."""
+    write the batch's single fingerprint materialization.
+
+    Re-committing an EXISTING run id replaces that run wholesale (the
+    retried-micro-batch case: an at-least-once caller re-running an epoch
+    owns that epoch's run dir, exactly like the epoch-partitioned
+    streaming sinks)."""
+    import shutil
+
     spark = df.sparkSession
     final = os.path.join(store_dir, f"run_{run_id:05d}")
     tmp = os.path.join(store_dir, f".tmp_run_{run_id:05d}")
     df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(final):  # retry: replace the attempt's own prior run
+        shutil.rmtree(final)
     os.replace(tmp, final)
     return spark.read.parquet(final)
 
@@ -165,6 +174,7 @@ def incremental_minhash_pairs(
     shingle_k: int = 3,
     min_agreement: float = 0.9,
     commit: bool = True,
+    run_id: int | None = None,
 ) -> DataFrame:
     """One incremental dedup step → (a_id, b_id, sig_sim) near-dup pairs
     involving AT LEAST ONE new row (a_id < b_id, sig_sim = signature
@@ -175,6 +185,13 @@ def incremental_minhash_pairs(
     commit write doubles as the signatures' single materialization. With
     ``commit=False`` (a what-if probe) nothing is written and the new
     signatures are computed in-plan instead.
+
+    ``run_id``: None (default) appends the next run. An EXPLICIT id makes
+    the step IDEMPOTENT under retry — the commit replaces run_<id> and the
+    pairing considers only runs strictly BEFORE it as "old", so an
+    at-least-once caller (streaming foreachBatch keyed by epoch) re-running
+    a batch reproduces the same pairs instead of self-matching its own
+    earlier attempt. Ids must be committed in increasing order.
 
     Scale shape: signatures for the new batch only (no shuffle); ONE
     band-key join of new-batch band rows (21x batch) against (store ∪
@@ -188,11 +205,16 @@ def incremental_minhash_pairs(
     spark: SparkSession = new_docs.sparkSession
     _check_meta(store_dir, _store_meta(num_hashes, n_bands, shingle_k), create=commit)
     prior = _run_dirs(store_dir)
+    if run_id is not None:
+        # retry semantics: only strictly-older runs are "the old corpus"
+        prior = [d for d in prior if int(os.path.basename(d)[4:]) < run_id]
 
     new_sigs = minhash_sigs(new_docs, text_col, id_col, num_hashes, shingle_k)
     if commit:
         # read back: the ONE signature computation per row, ever
-        new_sigs = commit_store_run(new_sigs, store_dir, len(prior))
+        new_sigs = commit_store_run(
+            new_sigs, store_dir, len(prior) if run_id is None else run_id
+        )
     else:
         from pyspark import StorageLevel
 

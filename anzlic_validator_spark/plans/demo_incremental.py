@@ -256,6 +256,78 @@ SELECT d + 10000, d + 20000, CAST(1.0 AS DOUBLE) FROM d WHERE d % 6 = 0
 """
 
 
+def _stage_doc_epochs(inp: str) -> None:
+    """3 single-file DOCUMENT epochs (pinned mtimes, one parquet file each;
+    the _stage_epochs determinism recipe). Unique 20-token vocabulary per
+    source index d; copies share text exactly:
+      epoch 0: ids 0..9           (d = id, all fresh)
+      epoch 1: ids 100..104       (103 copies d=3; others fresh)
+      epoch 2: ids 200..204       (203 copies d=3; 204 copies d=104)
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(inp, exist_ok=True)
+
+    def text(d: int) -> str:
+        return " ".join(f"t{d * 100 + j}" for j in range(20))
+
+    epochs = [
+        [(i, text(i)) for i in range(10)],
+        [(i, text(3 if i == 103 else i)) for i in range(100, 105)],
+        [(i, text({203: 3, 204: 104}.get(i, i))) for i in range(200, 205)],
+    ]
+    now = time.time()
+    for e, rows in enumerate(epochs):
+        tbl = pa.table(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]},
+            schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        )
+        p = os.path.join(inp, f"epoch{e}.parquet")
+        pq.write_table(tbl, p)
+        ts = now - 600 + e * 120
+        os.utime(p, (ts, ts))
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental dedup on the gate: the real ``dedup_stream``
+    surface (foreachBatch + epoch-keyed fingerprint-store commits) over 3
+    staged single-file epochs with planted cross- and intra-history copies.
+    Each micro-batch fingerprints only its own rows and pairs against the
+    store; the census is closed-form. Output: (a_id, b_id, epoch)."""
+    from anzlic_validator_spark.streaming.incremental import dedup_stream
+
+    base = tempfile.mkdtemp(prefix="sg_stream_dedup_")
+    try:
+        inp = os.path.join(base, "in")
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        store = os.path.join(base, "store")
+        _stage_doc_epochs(inp)
+        q = dedup_stream(
+            spark, inp, "doc_id long, text string", store, out, ckpt,
+            max_files_per_trigger=1,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_dedup: availableNow run did not finish in 300s")
+        pairs = spark.read.parquet(f"{out}/pairs").select("a_id", "b_id", "epoch")
+        rows = pairs.collect()
+        return spark.createDataFrame(rows, "a_id long, b_id long, epoch int")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_STREAM_DEDUP = """
+SELECT * FROM (VALUES
+  (CAST(3 AS BIGINT),   CAST(103 AS BIGINT), CAST(1 AS INT)),
+  (CAST(3 AS BIGINT),   CAST(203 AS BIGINT), CAST(2 AS INT)),
+  (CAST(103 AS BIGINT), CAST(203 AS BIGINT), CAST(2 AS INT)),
+  (CAST(104 AS BIGINT), CAST(204 AS BIGINT), CAST(2 AS INT))
+) AS t(a_id, b_id, epoch)
+"""
+
+
 def q_audio_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental AUDIO content dedup on the gate: run 1 commits 60
     distinct-signal clips (codec rotating pcm/wav/flac) to a staged

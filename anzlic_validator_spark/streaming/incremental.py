@@ -309,6 +309,68 @@ def validate_stream(
     return writer.start()
 
 
+def dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    store_dir: str,
+    output_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    **minhash_params,
+):
+    """STREAMING near-duplicate detection over a growing parquet corpus —
+    the composition of the incremental fingerprint store (VERDICT r04 #2,
+    operators/dedup_state.py) with the foreachBatch machinery here: each
+    micro-batch fingerprints ONLY its own rows, pairs them against the
+    persisted store (new-vs-all-history + new-vs-new), commits its
+    signatures, and writes the pairs epoch-partitioned.
+
+    Exactly-once-effective under at-least-once foreachBatch, twice over:
+    the store commit is keyed by epoch (``run_id=epoch`` replaces the
+    retried attempt's own run and pairs only against strictly-older runs),
+    and the pair sink is the same dynamic-partition-overwrite epoch layout
+    as validate_stream's sinks. ``minhash_params`` forward to
+    ``incremental_minhash_pairs`` (threshold, bands, agreement...).
+
+    Returns the started StreamingQuery; pairs land at
+    ``{output_path}/pairs`` as (a_id, b_id, sig_sim, epoch).
+    """
+    from anzlic_validator_spark.operators.dedup_state import (
+        incremental_minhash_pairs,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        pairs = incremental_minhash_pairs(
+            batch_df, store_dir, text_col, id_col,
+            run_id=int(epoch_id), **minhash_params,
+        )
+        (
+            pairs.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(f"{output_path}/pairs")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_unique_stream(
     stream: DataFrame, rule: Rule, key_col: str = "clip_id"
 ) -> DataFrame:

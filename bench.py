@@ -183,6 +183,7 @@ QUERY_NAMES = [
     "resume_buckets",
     "dedup_incremental",
     "audio_dedup_incremental",
+    "stream_dedup",
 ]
 
 

@@ -158,6 +158,75 @@ def test_incremental_audio_dedup_store(spark, tmp_path):
         )
 
 
+def test_explicit_run_id_retry_idempotent(spark, tmp_path):
+    """Epoch-keyed commits: re-running run_id=1 (the at-least-once retry)
+    replaces its own run, pairs only against strictly-older runs, and
+    reproduces identical output — no self-matching against the first
+    attempt's store entry, no extra run dirs."""
+    store = str(tmp_path / "store")
+    base = _docs(spark, [(d, _vocab_doc(d)) for d in range(5)])
+    incremental_minhash_pairs(base, store, "text", "doc_id", run_id=0)
+    new = _docs(spark, [(103, _vocab_doc(3))])
+    first = sorted(
+        (r.a_id, r.b_id)
+        for r in incremental_minhash_pairs(
+            new, store, "text", "doc_id", run_id=1
+        ).collect()
+    )
+    retry = sorted(
+        (r.a_id, r.b_id)
+        for r in incremental_minhash_pairs(
+            new, store, "text", "doc_id", run_id=1
+        ).collect()
+    )
+    assert first == retry == [(3, 103)]
+    assert sorted(d for d in os.listdir(store) if d.startswith("run_")) == [
+        "run_00000", "run_00001"
+    ]
+
+
+def test_dedup_stream_end_to_end(spark, tmp_path):
+    """dedup_stream: 3 real micro-batches through foreachBatch; per-epoch
+    pair sets match the planted copies; the store holds one run per epoch."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anzlic_validator_spark.streaming.incremental import dedup_stream
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    store = str(tmp_path / "store")
+    os.makedirs(inp)
+    epochs = [
+        [(d, _vocab_doc(d)) for d in range(6)],
+        [(100, _vocab_doc(100)), (103, _vocab_doc(3))],
+        [(203, _vocab_doc(3)), (204, _vocab_doc(100))],
+    ]
+    now = _time.time()
+    for e, rows in enumerate(epochs):
+        tbl = pa.table(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]},
+            schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        )
+        p = os.path.join(inp, f"epoch{e}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now - 600 + e * 120,) * 2)
+    q = dedup_stream(
+        spark, inp, "doc_id long, text string", store, out, ckpt,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.a_id, r.b_id, r.epoch)
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    assert got == {(3, 103, 1), (3, 203, 2), (103, 203, 2), (100, 204, 2)}
+    assert sorted(d for d in os.listdir(store) if d.startswith("run_")) == [
+        "run_00000", "run_00001", "run_00002"
+    ]
+
+
 def test_minhash_sigs_match_store_reread(spark, tmp_path):
     """The signatures the verify stage reads back from parquet are the
     signatures the plan computed — i.e. sig arrays round-trip exactly."""
