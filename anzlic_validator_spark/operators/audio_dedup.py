@@ -34,6 +34,7 @@ shuffle and is trivially partial-aggregated.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -144,6 +145,7 @@ def _fingerprint_one(
     want_phash: bool,
     want_frames: bool,
     want_subfp: bool = False,
+    want_content: bool = True,
     spectra=_frame_spectra,
 ) -> tuple:
     """One clip → (content_fp, phash, frames, subfp, err). The spectra pass
@@ -157,7 +159,9 @@ def _fingerprint_one(
     if err is not None or pcm is None:
         return None, None, None, None, err or "decode failed"
     s16 = _to_s16(pcm)
-    content_fp = hashlib.md5(s16.tobytes()).hexdigest()
+    # the md5 over full decoded PCM is not free — gated like the spectra
+    # (review r05: a frames/subfp-only pass was paying it for nothing)
+    content_fp = hashlib.md5(s16.tobytes()).hexdigest() if want_content else None
     if not (want_phash or want_frames or want_subfp):
         return content_fp, None, None, None, None
     # NULL sr_hz arrives as NaN (pandas nullable-int → float64);
@@ -229,21 +233,50 @@ def audio_fingerprints(
         out = {"content_fp": [], "phash": [], "frames": [], "subfp": [], "err": []}
         for bb, cc, ss in zip(b, codec, sr):
             content_fp, phash, frames, subfp, err = _fingerprint_one(
-                bb, cc, ss, registry, want_phash, want_frames, want_subfp
+                bb, cc, ss, registry, want_phash, want_frames, want_subfp,
+                want_content,
             )
-            out["content_fp"].append(content_fp if want_content else None)
+            out["content_fp"].append(content_fp)
             out["phash"].append(phash)
             out["frames"].append(frames)
             out["subfp"].append(subfp)
             out["err"].append(err)
         return pd.DataFrame(out)
 
+    # column metadata records which parts were COMPUTED (vs schema-stable
+    # NULLs), letting composed operators fail loudly instead of silently
+    # joining against all-NULL fingerprints (review r05)
     return df.select(
         F.col(key_col).alias("key"),
         fp(F.col(bytes_col), F.col(codec_col), F.col(sr_col)).alias("__fp"),
     ).select(
-        "key", "__fp.content_fp", "__fp.phash", "__fp.frames", "__fp.subfp", "__fp.err"
+        "key",
+        F.col("__fp.content_fp").alias("content_fp", metadata={"computed": want_content}),
+        F.col("__fp.phash").alias("phash", metadata={"computed": want_phash}),
+        F.col("__fp.frames").alias("frames", metadata={"computed": want_frames}),
+        F.col("__fp.subfp").alias("subfp", metadata={"computed": want_subfp}),
+        "__fp.err",
     )
+
+
+def _require_computed_part(fps: DataFrame, part: str, op: str) -> None:
+    """Raise if ``fps`` verifiably lacks a COMPUTED ``part`` column: absent
+    column, or an audio_fingerprints table whose metadata says the part was
+    not requested. Hand-built fingerprint tables without metadata pass (we
+    cannot know). Guards against the silent-recall-0 composition where a
+    verify/candidate stage inner-joins against all-NULL fingerprints."""
+    if part not in fps.columns:
+        raise ValueError(
+            f"{op} requires a '{part}' column in fps "
+            f"(audio_fingerprints parts including '{part}')"
+        )
+    md = fps.schema[part].metadata or {}
+    if md.get("computed") is False:
+        raise ValueError(
+            f"{op}: fps was built WITHOUT '{part}' (audio_fingerprints "
+            f"parts did not include it) — every candidate would be "
+            f"silently dropped; re-fingerprint with parts including '{part}'"
+        )
 
 
 def audio_exact_duplicates(fps: DataFrame) -> DataFrame:
@@ -375,10 +408,13 @@ def audio_verify_pairs(
             ber_at,
         )
     )
+    # filter on the UNROUNDED value (rounding first would admit pairs up to
+    # max_ber + 5e-5 — one-sided toward acceptance; review r05), round only
+    # for output
     return (
-        joined.withColumn("ber", F.round(ber, 4))
-        .where(F.col("ber") <= F.lit(float(max_ber)))
-        .select(a_col, b_col, "ber")
+        joined.withColumn("__ber", ber)
+        .where(F.col("__ber") <= F.lit(float(max_ber)))
+        .select(a_col, b_col, F.round("__ber", 4).alias("ber"))
     )
 
 
@@ -390,10 +426,14 @@ def incremental_audio_dedup(
     codec_col: str = "codec",
     sr_col: str = "sr_hz",
     commit: bool = True,
+    run_id: int | None = None,
 ) -> DataFrame:
     """Cross-run incremental AUDIO content dedup — the audio-payload twin
     of operators/dedup_state.incremental_minhash_pairs, sharing its store
-    layout (atomic run commits + meta guard): a persisted
+    layout (atomic run commits + meta guard + ``run_id`` retry idempotency:
+    an explicit id replaces the retried attempt's own run and pairs only
+    against strictly-older runs, so an at-least-once caller never
+    accumulates duplicate store rows): a persisted
     (key, content_fp) store means run N+1 DECODES ONLY ITS NEW CLIPS —
     decode is the dominant cost of the audio pass, and old clips' bytes
     are structurally not an input — and matches them against stored
@@ -418,13 +458,18 @@ def incremental_audio_dedup(
     spark = new_clips.sparkSession
     check_store_meta(store_dir, {"kind": "audio_content_fp"}, create=commit)
     prior = store_run_dirs(store_dir)
+    if run_id is not None:
+        # retry semantics: only strictly-older runs are "the old corpus"
+        prior = [d for d in prior if int(os.path.basename(d)[4:]) < run_id]
     new_fps = audio_fingerprints(
         new_clips, key_col, bytes_col, codec_col, sr_col, parts=("content_fp",)
     ).select("key", "content_fp")
     if commit:
         # the commit write is the batch's ONE decode pass; the pair plan
         # below reads fingerprints back from parquet
-        new_fps = commit_store_run(new_fps, store_dir, len(prior))
+        new_fps = commit_store_run(
+            new_fps, store_dir, len(prior) if run_id is None else run_id
+        )
     else:
         from pyspark import StorageLevel
 
@@ -477,6 +522,8 @@ def audio_near_duplicates_verified(
     contract as minhash's persist_shingles: the operator never sees the
     consuming action, so long-lived sessions unpersist after consuming or
     pass ``persist_fps=False``."""
+    _require_computed_part(fps, "frames", "audio_near_duplicates_verified")
+    _require_computed_part(fps, "subfp", "audio_near_duplicates_verified")
     if persist_fps:
         from pyspark import StorageLevel
 

@@ -238,17 +238,27 @@ def repetition_features(
     g2 = F.col("__g2")
 
     if strategy == "shuffle":
+        from pyspark import StorageLevel
+
+        # three consumers (light metrics + two explode aggregates) —
+        # without the persist each is an independent subtree re-reading the
+        # source and re-tokenizing every document (review r05: two extra
+        # full passes at corpus scale). Same ownership contract as
+        # minhash's persist_shingles: the result is lazy, so long-lived
+        # sessions unpersist after consuming.
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
         light = g.select(
             F.col(id_col),
             F.round(dup_frac(F.col("__lines")), 4).alias("dup_line_frac"),
-            F.round(dup_frac(g2), 4).alias("dup_2gram_frac"),
             F.round(dup_frac(F.col("__g3")), 4).alias("dup_3gram_frac"),
         )
         # occurrence counts as rows: the inner groupBy is map-side combined
         # on (id, gram), so a doc with 10^5 tokens contributes ~distinct
         # rows to the exchange, not total; empty docs drop out of the
-        # explode and coalesce back to 0.0 after the left joins
-        top2_agg = (
+        # explode and coalesce back to 0.0 after the left joins. The
+        # bigram counts serve BOTH top_2gram_share and dup_2gram_frac
+        # (distinct = row count, total = sum of counts) — no second scan.
+        g2_agg = (
             g.select(F.col(id_col), F.explode("__g2").alias("__gram"))
             .groupBy(id_col, "__gram")
             .agg(F.count(F.lit(1)).alias("__c"))
@@ -256,7 +266,11 @@ def repetition_features(
             .agg(
                 (F.max("__c").cast("double") / F.sum("__c").cast("double")).alias(
                     "__top2"
-                )
+                ),
+                (
+                    F.lit(1.0)
+                    - F.count(F.lit(1)).cast("double") / F.sum("__c").cast("double")
+                ).alias("__dup2"),
             )
         )
         # -Σ p·log2 p  ==  log2 N − (Σ c·log2 c)/N  (p = c/N)
@@ -273,12 +287,12 @@ def repetition_features(
             )
         )
         return (
-            light.join(top2_agg, id_col, "left")
+            light.join(g2_agg, id_col, "left")
             .join(ent_agg, id_col, "left")
             .select(
                 F.col(id_col),
                 "dup_line_frac",
-                "dup_2gram_frac",
+                F.round(F.coalesce("__dup2", F.lit(0.0)), 4).alias("dup_2gram_frac"),
                 "dup_3gram_frac",
                 F.round(F.coalesce("__top2", F.lit(0.0)), 4).alias("top_2gram_share"),
                 F.round(F.coalesce("__ent", F.lit(0.0)), 4).alias("char_entropy"),

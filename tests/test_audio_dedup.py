@@ -124,6 +124,12 @@ def test_audio_fingerprints_parts_skip_spectra(spark):
     assert lean.phash is None and lean.frames is None and lean.err is None
     frames_only = audio_fingerprints(df, parts=("frames",)).collect()[0]
     assert frames_only.content_fp is None and frames_only.frames == full.frames
+    # the md5 is gated like the spectra (review r05): a perceptual-only
+    # kernel call skips it entirely
+    cf3, _, fr3, _, err3 = _fingerprint_one(
+        raw, "pcm_s16le", sr, {}, False, True, False, want_content=False
+    )
+    assert cf3 is None and fr3 and err3 is None
     with pytest.raises(ValueError, match="parts"):
         audio_fingerprints(df, parts=("bogus",))
     with pytest.raises(ValueError, match="parts"):
@@ -209,6 +215,49 @@ def test_audio_verify_rejects_colliding_halves(spark):
         [("gen-a", "gen-b")], "a_key string, b_key string"
     )
     assert audio_verify_pairs(far, fps, max_ber=0.25, max_offset=0).collect() == []
+
+
+def test_verified_guard_and_unrounded_ber_bar(spark):
+    """Review r05 regressions: (a) composing the verified near-dup with a
+    fingerprint table built WITHOUT subfp must raise, not silently return
+    zero pairs; (b) the BER bar compares the UNROUNDED value — a pair at
+    raw BER 0.25004 (rounds to 0.2500) is still above max_ber=0.25."""
+    import pytest
+
+    from anzlic_validator_spark.functions.audio import encode, ref_signal
+    from anzlic_validator_spark.operators.audio_dedup import (
+        audio_fingerprints,
+        audio_near_duplicates_verified,
+        audio_verify_pairs,
+    )
+
+    sr = 8000
+    raw = encode(ref_signal(0, sr, sr // 2, seed=7), sr, "pcm_s16le")
+    clips = spark.createDataFrame(
+        [Row(clip_id="x", bytes=raw, codec="pcm_s16le", sr_hz=sr)]
+    )
+    no_subfp = audio_fingerprints(clips, parts=("frames",))
+    with pytest.raises(ValueError, match="subfp"):
+        audio_near_duplicates_verified(no_subfp)
+    no_frames = audio_fingerprints(clips, parts=("subfp",))
+    with pytest.raises(ValueError, match="frames"):
+        audio_near_duplicates_verified(no_frames)
+    # hand-built tables without metadata still pass the guard (unknowable)
+    ok = audio_fingerprints(clips, parts=("frames", "subfp"))
+    audio_near_duplicates_verified(ok)  # plan construction must not raise
+
+    # (b) 700 frames x 32 bits = 22400; 5601 differing bits -> raw BER
+    # 0.2500446 (rounds to 0.25). Must be REJECTED at max_ber=0.25.
+    a = [0] * 700
+    b = [0xFFFFFFFF] * 175 + [1] + [0] * 524  # 175*32 + 1 = 5601 bits
+    fps = spark.createDataFrame(
+        [Row(key="p", subfp=a), Row(key="q", subfp=b)],
+        "key string, subfp array<long>",
+    )
+    cand = spark.createDataFrame([("p", "q")], "a_key string, b_key string")
+    assert audio_verify_pairs(cand, fps, max_ber=0.25, max_offset=0).collect() == []
+    got = audio_verify_pairs(cand, fps, max_ber=0.2501, max_offset=0).collect()
+    assert len(got) == 1 and got[0].ber == 0.25  # rounded for OUTPUT only
 
 
 def test_audio_neardup_margin_sweep():

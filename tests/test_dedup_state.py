@@ -185,6 +185,37 @@ def test_explicit_run_id_retry_idempotent(spark, tmp_path):
     ]
 
 
+def test_audio_store_run_id_retry_idempotent(spark, tmp_path):
+    """Review r05: the audio store honors the same epoch-keyed retry
+    semantics as the text twin — re-running run_id=1 replaces its own run
+    and reproduces identical pairs."""
+    from anzlic_validator_spark.functions.audio import encode, ref_signal
+    from anzlic_validator_spark.operators.audio_dedup import incremental_audio_dedup
+
+    sr = 8000
+
+    def clip(key, j, codec):
+        return (key, encode(ref_signal(j, sr, sr // 2, seed=11), sr, codec), codec, sr)
+
+    schema = "clip_id string, bytes binary, codec string, sr_hz int"
+    store = str(tmp_path / "astore")
+    run1 = spark.createDataFrame([clip("a0", 0, "pcm_s16le")], schema)
+    incremental_audio_dedup(run1, store, run_id=0)
+    run2 = spark.createDataFrame([clip("b0", 0, "wav")], schema)
+    first = sorted(
+        (r.a_key, r.b_key)
+        for r in incremental_audio_dedup(run2, store, run_id=1).collect()
+    )
+    retry = sorted(
+        (r.a_key, r.b_key)
+        for r in incremental_audio_dedup(run2, store, run_id=1).collect()
+    )
+    assert first == retry == [("a0", "b0")]
+    assert sorted(d for d in os.listdir(store) if d.startswith("run_")) == [
+        "run_00000", "run_00001"
+    ]
+
+
 def test_dedup_stream_end_to_end(spark, tmp_path):
     """dedup_stream: 3 real micro-batches through foreachBatch; per-epoch
     pair sets match the planted copies; the store holds one run per epoch."""
