@@ -452,15 +452,13 @@ def incremental_audio_dedup(
     from anzlic_validator_spark.operators.dedup_state import (
         check_store_meta,
         commit_store_run,
-        store_run_dirs,
+        store_live_inputs,
     )
 
     spark = new_clips.sparkSession
     check_store_meta(store_dir, {"kind": "audio_content_fp"}, create=commit)
-    prior = store_run_dirs(store_dir)
-    if run_id is not None:
-        # retry semantics: only strictly-older runs are "the old corpus"
-        prior = [d for d in prior if int(os.path.basename(d)[4:]) < run_id]
+    # fold-aware + retry semantics, shared with the text store
+    prior, next_id = store_live_inputs(store_dir, before_run_id=run_id)
     new_fps = audio_fingerprints(
         new_clips, key_col, bytes_col, codec_col, sr_col, parts=("content_fp",)
     ).select("key", "content_fp")
@@ -468,7 +466,7 @@ def incremental_audio_dedup(
         # the commit write is the batch's ONE decode pass; the pair plan
         # below reads fingerprints back from parquet
         new_fps = commit_store_run(
-            new_fps, store_dir, len(prior) if run_id is None else run_id
+            new_fps, store_dir, next_id if run_id is None else run_id
         )
     else:
         from pyspark import StorageLevel

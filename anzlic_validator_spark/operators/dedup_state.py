@@ -55,6 +55,8 @@ from anzlic_validator_spark.operators.dedup import (
 )
 
 _RUN_RE = re.compile(r"^run_(\d{5})$")
+_FOLD_RE = re.compile(r"^fold_(\d{5})$")
+_FOLD_MARKER = "_FOLDED"
 
 
 def _store_meta(num_hashes: int, n_bands: int, shingle_k: int) -> dict:
@@ -100,6 +102,110 @@ def _run_dirs(store_dir: str) -> list[str]:
 def store_run_dirs(store_dir: str) -> list[str]:
     """Committed run directories of a fingerprint store, oldest first."""
     return _run_dirs(store_dir)
+
+
+def _newest_fold(store_dir: str) -> tuple[str, int] | None:
+    """(path, covers) of the newest VALID fold — marker present; a fold
+    dir without its marker is an aborted compaction and is ignored (the
+    runs it would have covered are all still present)."""
+    if not os.path.isdir(store_dir):
+        return None
+    best = None
+    for name in sorted(os.listdir(store_dir)):
+        m = _FOLD_RE.match(name)
+        if m and os.path.exists(os.path.join(store_dir, name, _FOLD_MARKER)):
+            best = (os.path.join(store_dir, name), int(m.group(1)))
+    return best
+
+
+def store_live_inputs(
+    store_dir: str, before_run_id: int | None = None
+) -> tuple[list[str], int]:
+    """→ (parquet dirs holding the store's LIVE fingerprint rows, next
+    auto run id). Live = the newest valid fold (which supersedes every run
+    it covers) plus runs strictly newer than its coverage.
+
+    ``before_run_id`` restricts to rows from runs strictly older (the
+    retry semantics of an epoch-keyed caller) and RAISES if that horizon
+    reaches into a fold — after compaction, retries of folded epochs are
+    impossible to serve exactly (their rows are merged), so failing loudly
+    beats silently self-matching. Compact only quiescent stores (or pass
+    ``up_to`` < the oldest retryable epoch to compact_store)."""
+    fold = _newest_fold(store_dir)
+    runs = [(int(os.path.basename(d)[4:]), d) for d in _run_dirs(store_dir)]
+    covers = fold[1] if fold else -1
+    live_runs = [(i, d) for i, d in runs if i > covers]
+    next_id = max([covers] + [i for i, _ in runs]) + 1
+    if before_run_id is None:
+        dirs = ([fold[0]] if fold else []) + [d for _, d in live_runs]
+        return dirs, next_id
+    if fold and before_run_id <= covers:
+        raise ValueError(
+            f"run_id {before_run_id} is at or below the store's compaction "
+            f"horizon (fold covers <= {covers}); a retry of a folded epoch "
+            "cannot be served exactly"
+        )
+    dirs = ([fold[0]] if fold else []) + [
+        d for i, d in live_runs if i < before_run_id
+    ]
+    return dirs, next_id
+
+
+def compact_store(
+    spark: SparkSession,
+    store_dir: str,
+    up_to: int | None = None,
+    delete_superseded: bool = True,
+) -> str | None:
+    """Fold the store's run history into ONE dir — the dedup-store analog
+    of the seen-keys log compaction (and of the reference's fetch-history
+    merge): a long-lived store otherwise accumulates one parquet dir per
+    batch and every incremental run pays an ever-growing multi-dir scan.
+
+    Crash-safe by construction: the fold is written to a temp dir, its
+    ``_FOLDED`` marker is created INSIDE the temp dir after verifying data
+    files landed, and the whole dir is renamed into place atomically — a
+    crash at any point leaves either no fold (all runs intact) or a
+    complete fold (which supersedes them). Superseded run dirs and older
+    folds are deleted only afterwards; a partial delete is harmless
+    because the loader ignores anything a valid fold covers.
+
+    ``up_to``: fold only runs with id <= up_to (an epoch-keyed caller
+    passes current_epoch - 1 so ITS OWN epoch stays individually
+    retryable). Full-row duplicates across runs (pre-run_id retries)
+    collapse in the fold. Returns the fold path, or None if fewer than two
+    live inputs would fold."""
+    import shutil
+
+    fold = _newest_fold(store_dir)
+    covers_old = fold[1] if fold else -1
+    runs = [
+        (int(os.path.basename(d)[4:]), d)
+        for d in _run_dirs(store_dir)
+        if int(os.path.basename(d)[4:]) > covers_old
+    ]
+    if up_to is not None:
+        runs = [(i, d) for i, d in runs if i <= up_to]
+    inputs = ([fold[0]] if fold else []) + [d for _, d in runs]
+    if not runs:  # nothing new to fold (a lone existing fold stays as-is)
+        return None
+    covers = max(i for i, _ in runs)
+    final = os.path.join(store_dir, f"fold_{covers:05d}")
+    tmp = os.path.join(store_dir, f".tmp_fold_{covers:05d}")
+    spark.read.parquet(*inputs).dropDuplicates().write.mode("overwrite").parquet(tmp)
+    if not any(not f.startswith(("_", ".")) for f in os.listdir(tmp)):
+        shutil.rmtree(tmp)
+        raise IOError(f"store fold landed empty at {tmp}; refusing to commit")
+    open(os.path.join(tmp, _FOLD_MARKER), "w").close()  # marker BEFORE rename
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    if delete_superseded:
+        for i, d in runs:
+            shutil.rmtree(d, ignore_errors=True)
+        if fold:
+            shutil.rmtree(fold[0], ignore_errors=True)
+    return final
 
 
 def commit_store_run(df: DataFrame, store_dir: str, run_id: int) -> DataFrame:
@@ -204,16 +310,15 @@ def incremental_minhash_pairs(
         raise ValueError(f"n_bands {n_bands} must divide num_hashes {num_hashes}")
     spark: SparkSession = new_docs.sparkSession
     _check_meta(store_dir, _store_meta(num_hashes, n_bands, shingle_k), create=commit)
-    prior = _run_dirs(store_dir)
-    if run_id is not None:
-        # retry semantics: only strictly-older runs are "the old corpus"
-        prior = [d for d in prior if int(os.path.basename(d)[4:]) < run_id]
+    # fold-aware: a compacted store reads (newest fold + newer runs);
+    # run_id restricts to strictly-older rows (retry semantics)
+    prior, next_id = store_live_inputs(store_dir, before_run_id=run_id)
 
     new_sigs = minhash_sigs(new_docs, text_col, id_col, num_hashes, shingle_k)
     if commit:
         # read back: the ONE signature computation per row, ever
         new_sigs = commit_store_run(
-            new_sigs, store_dir, len(prior) if run_id is None else run_id
+            new_sigs, store_dir, next_id if run_id is None else run_id
         )
     else:
         from pyspark import StorageLevel

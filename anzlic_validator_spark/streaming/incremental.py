@@ -320,6 +320,7 @@ def dedup_stream(
     id_col: str = "doc_id",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
     **minhash_params,
 ):
     """STREAMING near-duplicate detection over a growing parquet corpus —
@@ -336,11 +337,20 @@ def dedup_stream(
     as validate_stream's sinks. ``minhash_params`` forward to
     ``incremental_minhash_pairs`` (threshold, bands, agreement...).
 
+    ``compact_every``: with N set, once more than N live run dirs exist
+    the batch folds the store UP TO THE PREVIOUS epoch (compact_store
+    ``up_to=epoch-1`` — the current epoch stays individually retryable),
+    bounding every batch's store scan to ~N dirs + 1 fold regardless of
+    stream lifetime — the fingerprint-store analog of the seen-keys log
+    compaction above.
+
     Returns the started StreamingQuery; pairs land at
     ``{output_path}/pairs`` as (a_id, b_id, sig_sim, epoch).
     """
     from anzlic_validator_spark.operators.dedup_state import (
+        compact_store,
         incremental_minhash_pairs,
+        store_run_dirs,
     )
 
     reader = spark.readStream.schema(schema)
@@ -361,6 +371,10 @@ def dedup_stream(
             .partitionBy("epoch")
             .parquet(f"{output_path}/pairs")
         )
+        # compaction AFTER the pair write consumed the store, and only up
+        # to the previous epoch so this one stays retryable
+        if compact_every and epoch_id > 0 and len(store_run_dirs(store_dir)) > compact_every:
+            compact_store(s, store_dir, up_to=int(epoch_id) - 1)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

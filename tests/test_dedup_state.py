@@ -258,6 +258,112 @@ def test_dedup_stream_end_to_end(spark, tmp_path):
     ]
 
 
+def test_compact_store_folds_and_preserves_pairs(spark, tmp_path):
+    """Store compaction (the fetch-history-merge analog): folding the run
+    history into one dir changes NOTHING about subsequent pairing, deletes
+    superseded runs, and run ids keep increasing past the fold's
+    coverage."""
+    from anzlic_validator_spark.operators.dedup_state import compact_store
+
+    store = str(tmp_path / "store")
+    for i in range(3):
+        incremental_minhash_pairs(
+            _docs(spark, [(10 * i + k, _vocab_doc(10 * i + k)) for k in range(3)]),
+            store, "text", "doc_id",
+        )
+    fold = compact_store(spark, store)
+    assert fold and fold.endswith("fold_00002")
+    names = sorted(os.listdir(store))
+    assert names == ["fold_00002", "meta.json"]  # runs superseded + deleted
+    # a new batch pairs against the FOLD and commits as run_00003
+    pairs = incremental_minhash_pairs(
+        _docs(spark, [(900, _vocab_doc(11))]), store, "text", "doc_id"
+    )
+    assert [(r.a_id, r.b_id) for r in pairs.collect()] == [(11, 900)]
+    assert "run_00003" in os.listdir(store)
+    # re-compacting folds fold+run into fold_00003
+    assert compact_store(spark, store).endswith("fold_00003")
+    rows = spark.read.parquet(os.path.join(store, "fold_00003")).count()
+    assert rows == 10  # 9 base + 1 new, duplicates collapsed
+
+
+def test_compact_store_crash_safety_and_retry_horizon(spark, tmp_path):
+    from anzlic_validator_spark.operators.dedup_state import (
+        compact_store,
+        store_live_inputs,
+    )
+
+    store = str(tmp_path / "store")
+    incremental_minhash_pairs(
+        _docs(spark, [(1, _vocab_doc(1))]), store, "text", "doc_id", run_id=0
+    )
+    incremental_minhash_pairs(
+        _docs(spark, [(2, _vocab_doc(2))]), store, "text", "doc_id", run_id=1
+    )
+    # an ABORTED compaction (fold dir without its marker) is ignored: all
+    # runs stay live and the next id is unaffected
+    os.makedirs(os.path.join(store, "fold_00099"))
+    dirs, next_id = store_live_inputs(store)
+    assert [os.path.basename(d) for d in dirs] == ["run_00000", "run_00001"]
+    assert next_id == 2
+    os.rmdir(os.path.join(store, "fold_00099"))
+    # real compaction up_to=0: run 1 stays individually retryable...
+    compact_store(spark, store, up_to=0)
+    retry = incremental_minhash_pairs(
+        _docs(spark, [(2, _vocab_doc(2))]), store, "text", "doc_id", run_id=1
+    )
+    assert retry.count() == 0
+    # ...but a retry BELOW the compaction horizon fails loudly
+    with pytest.raises(ValueError, match="compaction horizon"):
+        incremental_minhash_pairs(
+            _docs(spark, [(1, _vocab_doc(1))]), store, "text", "doc_id", run_id=0
+        )
+
+
+def test_dedup_stream_auto_compaction(spark, tmp_path):
+    """compact_every bounds per-batch store reads without changing output:
+    same 3-epoch fixture as the uncompacted test, identical pairs, store
+    ends as one fold + the last epoch's run."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anzlic_validator_spark.streaming.incremental import dedup_stream
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    store = str(tmp_path / "store")
+    os.makedirs(inp)
+    epochs = [
+        [(d, _vocab_doc(d)) for d in range(6)],
+        [(100, _vocab_doc(100)), (103, _vocab_doc(3))],
+        [(203, _vocab_doc(3)), (204, _vocab_doc(100))],
+    ]
+    now = _time.time()
+    for e, rows in enumerate(epochs):
+        tbl = pa.table(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]},
+            schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        )
+        p = os.path.join(inp, f"epoch{e}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now - 600 + e * 120,) * 2)
+    q = dedup_stream(
+        spark, inp, "doc_id long, text string", store, out, ckpt,
+        max_files_per_trigger=1, compact_every=1,
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.a_id, r.b_id, r.epoch)
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    assert got == {(3, 103, 1), (3, 203, 2), (103, 203, 2), (100, 204, 2)}
+    names = sorted(
+        d for d in os.listdir(store) if d.startswith(("run_", "fold_"))
+    )
+    assert names == ["fold_00001", "run_00002"]
+
+
 def test_minhash_sigs_match_store_reread(spark, tmp_path):
     """The signatures the verify stage reads back from parquet are the
     signatures the plan computed — i.e. sig arrays round-trip exactly."""
