@@ -37,6 +37,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _tokens(col: Column, normalize: bool) -> Column:
+    """Token array for gram matching. ``normalize=True`` applies the
+    standard decontamination canonicalization (GPT-3/PaLM data-card style):
+    lowercase, punctuation stripped to spaces, whitespace-run split with
+    empties dropped — so `"Hello,  WORLD!"` and `"hello world"` share
+    grams. All built-ins; both sides of the match must use the same
+    setting (threaded by the callers)."""
+    if not normalize:
+        return F.split(col, " ")
+    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+
+
 def _gram_pairs(toks: Column, k: int) -> Column:
     """DISTINCT k-gram (hash, gram) structs from a materialized token-array
     column; empty array for docs shorter than k tokens (such docs cannot
@@ -55,11 +68,13 @@ def _gram_pairs(toks: Column, k: int) -> Column:
     )
 
 
-def eval_gram_set(eval_docs: DataFrame, text_col: str, k: int = 8) -> DataFrame:
+def eval_gram_set(
+    eval_docs: DataFrame, text_col: str, k: int = 8, normalize: bool = False
+) -> DataFrame:
     """The eval corpus' distinct (h, gram) table — build once per eval
     suite and reuse across corpus runs (it is snapshot-cacheable parquet)."""
     return (
-        eval_docs.select(F.split(F.col(text_col), " ").alias("__toks"))
+        eval_docs.select(_tokens(F.col(text_col), normalize).alias("__toks"))
         .select(F.explode(_gram_pairs(F.col("__toks"), k)).alias("__g"))
         .select("__g.h", "__g.gram")
         .distinct()
@@ -74,6 +89,7 @@ def contamination_hits(
     eval_text_col: str | None = None,
     k: int = 8,
     broadcast_eval: bool = True,
+    normalize: bool = False,
 ) -> DataFrame:
     """→ (id_col, n_contaminated): one row per CONTAMINATED document, with
     the count of its distinct k-grams that occur in the eval corpus.
@@ -81,12 +97,13 @@ def contamination_hits(
     ``broadcast_eval=True`` (default) pins a broadcast-hash join — the
     right plan whenever the eval gram set fits an executor (every real
     eval suite); set False for a pathological eval corpus and let AQE
-    choose the join."""
-    ev = eval_gram_set(eval_docs, eval_text_col or text_col, k)
+    choose the join. ``normalize=True`` canonicalizes BOTH sides (case /
+    punctuation / whitespace-run insensitive matching — see _tokens)."""
+    ev = eval_gram_set(eval_docs, eval_text_col or text_col, k, normalize)
     if broadcast_eval:
         ev = F.broadcast(ev)
     dg = (
-        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+        docs.select(F.col(id_col), _tokens(F.col(text_col), normalize).alias("__toks"))
         .select(F.col(id_col), F.explode(_gram_pairs(F.col("__toks"), k)).alias("__g"))
         .select(F.col(id_col), F.col("__g.h").alias("h"), F.col("__g.gram").alias("gram"))
     )
@@ -107,12 +124,14 @@ def decontaminate(
     eval_text_col: str | None = None,
     k: int = 8,
     broadcast_eval: bool = True,
+    normalize: bool = False,
 ) -> DataFrame:
     """Drop contaminated documents: ``docs`` minus every row flagged by
     ``contamination_hits``. The document payload crosses no shuffle — the
     flagged-id list is tiny and the final step is a (broadcastable)
     left-anti join, as in clusters.deduplicate."""
     hits = contamination_hits(
-        docs, eval_docs, text_col, id_col, eval_text_col, k, broadcast_eval
+        docs, eval_docs, text_col, id_col, eval_text_col, k, broadcast_eval,
+        normalize,
     ).select(id_col)
     return docs.join(hits, id_col, "left_anti")

@@ -406,6 +406,19 @@ def test_decontaminate_k_boundary(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+    # normalize=True: case/punctuation/whitespace-insensitive matching on
+    # BOTH sides; without it the cased doc stays clean
+    cased = spark.createDataFrame(
+        [(9, "pre E1  e2, E3 e4 e5 e6 e7 e8! post")], "doc_id long, text string"
+    )
+    assert contamination_hits(cased, ev, "text", "doc_id", k=8).count() == 0
+    norm = {
+        r.doc_id: r.n_contaminated
+        for r in contamination_hits(
+            cased, ev, "text", "doc_id", k=8, normalize=True
+        ).collect()
+    }
+    assert norm == {9: 1}
 
 
 def test_winnow_fingerprints_and_near_dups(spark):
