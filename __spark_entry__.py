@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": demo_incremental.q_dedup_incremental,
         "audio_dedup_incremental": demo_incremental.q_audio_dedup_incremental,
         "stream_dedup": demo_incremental.q_stream_dedup,
+        "audio_neardup_incremental": demo_incremental.q_audio_neardup_incremental,
     }
 
 
@@ -279,4 +280,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": demo_incremental.SQL_DEDUP_INCREMENTAL,
         "audio_dedup_incremental": demo_incremental.SQL_AUDIO_DEDUP_INCREMENTAL,
         "stream_dedup": demo_incremental.SQL_STREAM_DEDUP,
+        "audio_neardup_incremental": demo_incremental.SQL_AUDIO_NEARDUP_INCREMENTAL,
     }

@@ -492,6 +492,90 @@ def incremental_audio_dedup(
     )
 
 
+def incremental_audio_neardup(
+    new_clips: DataFrame,
+    store_dir: str,
+    key_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    min_matches: int = 2,
+    max_ber: float = 0.25,
+    max_offset: int = 2,
+    max_bucket_size: int | None = 10_000,
+    commit: bool = True,
+    run_id: int | None = None,
+) -> DataFrame:
+    """Cross-run incremental PERCEPTUAL audio near-dup: the verified
+    frame-match pipeline (candidates by shared tagged halves → best-offset
+    BER accept) against a persisted (key, frames, subfp) store — run N+1
+    decodes only its new clips and finds near-duplicates of anything ever
+    ingested. Returns (a_key, b_key, ber) pairs involving >= 1 new clip.
+
+    Store kind is distinct from the exact content store (the shared meta
+    guard refuses to mix them). New-vs-new shared-half counts use DISTINCT
+    halves per pair — the asymmetric join sees both orientations of a
+    new-new pair, which would otherwise double the score.
+
+    Hot-half degeneracy at scale (same as audio_near_duplicates_frames):
+    ``max_bucket_size`` drops halves carried by more than that many STORED
+    clips from candidate generation (left-anti against the tiny hot-half
+    list, broadcast) — such halves carry no discriminative signal. The BER
+    verify stage is unchanged and decode-free (stored subfp sequences)."""
+    from anzlic_validator_spark.operators.dedup_state import (
+        check_store_meta,
+        commit_store_run,
+        store_live_inputs,
+    )
+
+    spark = new_clips.sparkSession
+    check_store_meta(store_dir, {"kind": "audio_neardup_fp"}, create=commit)
+    prior, next_id = store_live_inputs(store_dir, before_run_id=run_id)
+    new_fps = audio_fingerprints(
+        new_clips, key_col, bytes_col, codec_col, sr_col, parts=("frames", "subfp")
+    ).select("key", "frames", "subfp")
+    if commit:
+        new_fps = commit_store_run(
+            new_fps, store_dir, next_id if run_id is None else run_id
+        )
+    else:
+        from pyspark import StorageLevel
+
+        new_fps = new_fps.persist(StorageLevel.MEMORY_AND_DISK)
+    all_fps = (
+        spark.read.parquet(*prior).unionByName(new_fps) if prior else new_fps
+    )
+    nh = new_fps.where(F.col("frames").isNotNull()).select(
+        F.col("key").alias("n_key"), F.explode("frames").alias("fp")
+    )
+    ah = all_fps.where(F.col("frames").isNotNull()).select(
+        F.col("key").alias("o_key"), F.explode("frames").alias("fp")
+    )
+    if max_bucket_size is not None:
+        hot = (
+            ah.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > int(max_bucket_size))
+            .select("fp")
+        )
+        ah = ah.join(F.broadcast(hot), "fp", "left_anti")
+        nh = nh.join(F.broadcast(hot), "fp", "left_anti")
+    cand = (
+        nh.join(ah, "fp")
+        .where(F.col("n_key") != F.col("o_key"))
+        .groupBy(
+            F.least("n_key", "o_key").alias("a_key"),
+            F.greatest("n_key", "o_key").alias("b_key"),
+        )
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_matches))
+        .select("a_key", "b_key")
+    )
+    return audio_verify_pairs(
+        cand, all_fps, max_ber=max_ber, max_offset=max_offset
+    )
+
+
 def audio_near_duplicates_verified(
     fps: DataFrame,
     min_matches: int = 2,

@@ -405,6 +405,79 @@ UNION ALL SELECT c1, c2 FROM k WHERE j % 6 = 0
 """
 
 
+def q_audio_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PERCEPTUAL audio near-dup on the gate: run 1 commits 30
+    distinct 2 s signals to a frames+subfp store; run 2 passes ONLY
+    2 %-additive-noise copies of every even signal (noise Philox-seeded per
+    row) and must recover exactly those 15 planted pairs — candidates from
+    stored tagged halves, decode-free BER verify against stored subfp
+    sequences, run 1's bytes never re-read. Closed-form census."""
+    from anzlic_validator_spark.operators.audio_dedup import (
+        incremental_audio_neardup,
+    )
+
+    sr, n_signals = 8000, 30
+
+    def gen(which):
+        def inner(batches):
+            import numpy as np
+            import pandas as pd
+
+            from anzlic_validator_spark.functions.audio import encode, ref_signal
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if which == "base":
+                        j, key = i, i
+                        pcm = ref_signal(j, sr, 2 * sr, seed=6)
+                    else:
+                        j, key = 2 * i, 2 * i + 100
+                        pcm = ref_signal(j, sr, 2 * sr, seed=6)
+                        rng = np.random.Generator(
+                            np.random.Philox(key=np.uint64(636363) ^ np.uint64(j))
+                        )
+                        pcm = np.clip(
+                            pcm + 0.02 * rng.standard_normal(len(pcm)).astype(
+                                np.float32
+                            ),
+                            -1, 1,
+                        )
+                    rows.append(
+                        {"clip_id": f"an2-{key:04d}",
+                         "bytes": encode(pcm, sr, "pcm_s16le"),
+                         "codec": "pcm_s16le", "sr_hz": sr}
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["clip_id", "bytes", "codec", "sr_hz"]
+                )
+
+        return inner
+
+    schema = "clip_id string, bytes binary, codec string, sr_hz int"
+    base = tempfile.mkdtemp(prefix="sg_audio_neardup_state_")
+    try:
+        store = os.path.join(base, "store")
+        run1 = spark.range(n_signals).mapInPandas(gen("base"), schema)
+        p1 = incremental_audio_neardup(run1, store)
+        if p1.count() != 0:
+            raise RuntimeError("audio_neardup_incremental: run 1 emitted pairs")
+        run2 = spark.range(n_signals // 2).mapInPandas(gen("noisy"), schema)
+        p2 = incremental_audio_neardup(run2, store).select("a_key", "b_key")
+        rows = p2.collect()
+        return spark.createDataFrame(rows, "a_key string, b_key string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_AUDIO_NEARDUP_INCREMENTAL = """
+SELECT 'an2-' || lpad(CAST(2 * j AS VARCHAR), 4, '0') AS a_key,
+       'an2-' || lpad(CAST(2 * j + 100 AS VARCHAR), 4, '0') AS b_key
+FROM (SELECT CAST(r.range AS BIGINT) AS j FROM range(15) r)
+"""
+
+
 # -------------------------------------------------------------- resume
 
 _RESUME_RULES = """\

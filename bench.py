@@ -184,6 +184,7 @@ QUERY_NAMES = [
     "dedup_incremental",
     "audio_dedup_incremental",
     "stream_dedup",
+    "audio_neardup_incremental",
 ]
 
 

@@ -216,6 +216,54 @@ def test_audio_store_run_id_retry_idempotent(spark, tmp_path):
     ]
 
 
+def test_incremental_audio_neardup_store(spark, tmp_path):
+    """Perceptual incremental audio near-dup: run 2's noisy copies pair
+    against STORED frames/subfp (no re-decode of run 1 — plan has no
+    ArrowEvalPython on the store side); new-vs-new half counts are not
+    doubled (distinct-fp counting); the store kind is isolated from the
+    content-fp store."""
+    import numpy as np
+
+    from anzlic_validator_spark.functions.audio import encode, ref_signal
+    from anzlic_validator_spark.operators.audio_dedup import (
+        incremental_audio_dedup,
+        incremental_audio_neardup,
+    )
+
+    sr = 8000
+
+    def clip(key, j, noise_key=None):
+        pcm = ref_signal(j, sr, 2 * sr, seed=21)
+        if noise_key is not None:
+            rng = np.random.Generator(np.random.Philox(key=np.uint64(noise_key)))
+            pcm = np.clip(
+                pcm + 0.02 * rng.standard_normal(len(pcm)).astype(np.float32), -1, 1
+            )
+        return (key, encode(pcm, sr, "pcm_s16le"), "pcm_s16le", sr)
+
+    schema = "clip_id string, bytes binary, codec string, sr_hz int"
+    store = str(tmp_path / "nstore")
+    run1 = spark.createDataFrame([clip("a0", 0), clip("a1", 1)], schema)
+    assert incremental_audio_neardup(run1, store).count() == 0
+    # run 2: two independent noisy copies of signal 0 -> new-vs-old pairs
+    # for both AND the new-vs-new pair between them
+    run2 = spark.createDataFrame(
+        [clip("b0", 0, noise_key=7), clip("c0", 0, noise_key=8)], schema
+    )
+    p2 = incremental_audio_neardup(run2, store)
+    got = sorted((r.a_key, r.b_key) for r in p2.collect())
+    assert got == [("a0", "b0"), ("a0", "c0"), ("b0", "c0")]
+    assert all(r.ber <= 0.25 for r in p2.collect())
+    # the incremental plan decodes only the new batch: the store side is a
+    # parquet scan (exactly one ArrowEvalPython would appear for a
+    # commit=False in-plan fingerprint; after commit there are none)
+    plan = p2._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "Scan parquet" in plan
+    # kind isolation: the content-fp store API refuses this store
+    with pytest.raises(ValueError, match="incompatible"):
+        incremental_audio_dedup(run2, store)
+
+
 def test_dedup_stream_end_to_end(spark, tmp_path):
     """dedup_stream: 3 real micro-batches through foreachBatch; per-epoch
     pair sets match the planted copies; the store holds one run per epoch."""
