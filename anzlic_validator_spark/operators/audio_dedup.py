@@ -34,13 +34,14 @@ shuffle and is trivially partial-aggregated.
 from __future__ import annotations
 
 import hashlib
-import os
+import logging
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
 
 from anzlic_validator_spark.functions.audio import _to_s16, decode
 
@@ -450,30 +451,18 @@ def incremental_audio_dedup(
     on content_fp with the small new side broadcastable against a
     10^12-row store."""
     from anzlic_validator_spark.operators.dedup_state import (
-        check_store_meta,
-        commit_store_run,
-        store_live_inputs,
+        incremental_fingerprints,
     )
 
-    spark = new_clips.sparkSession
-    check_store_meta(store_dir, {"kind": "audio_content_fp"}, create=commit)
-    # fold-aware + retry semantics, shared with the text store
-    prior, next_id = store_live_inputs(store_dir, before_run_id=run_id)
-    new_fps = audio_fingerprints(
-        new_clips, key_col, bytes_col, codec_col, sr_col, parts=("content_fp",)
-    ).select("key", "content_fp")
-    if commit:
-        # the commit write is the batch's ONE decode pass; the pair plan
-        # below reads fingerprints back from parquet
-        new_fps = commit_store_run(
-            new_fps, store_dir, next_id if run_id is None else run_id
-        )
-    else:
-        from pyspark import StorageLevel
-
-        new_fps = new_fps.persist(StorageLevel.MEMORY_AND_DISK)
-    all_fps = (
-        spark.read.parquet(*prior).unionByName(new_fps) if prior else new_fps
+    new_fps, all_fps = incremental_fingerprints(
+        new_clips,
+        store_dir,
+        {"kind": "audio_content_fp"},
+        lambda df: audio_fingerprints(
+            df, key_col, bytes_col, codec_col, sr_col, parts=("content_fp",)
+        ).select("key", "content_fp"),
+        commit,
+        run_id,
     )
     nf = new_fps.where(F.col("content_fp").isNotNull()).withColumnRenamed(
         "key", "n_key"
@@ -518,32 +507,27 @@ def incremental_audio_neardup(
     new-new pair, which would otherwise double the score.
 
     Hot-half degeneracy at scale (same as audio_near_duplicates_frames):
-    ``max_bucket_size`` drops halves carried by more than that many STORED
-    clips from candidate generation (left-anti against the tiny hot-half
-    list, broadcast) — such halves carry no discriminative signal. The BER
-    verify stage is unchanged and decode-free (stored subfp sequences)."""
+    ``max_bucket_size`` drops halves carried by more than that many clips
+    ACROSS THE STORE PLUS THE CURRENT BATCH from candidate generation
+    (left-anti against the tiny hot-half list, broadcast) — such halves
+    carry no discriminative signal. The drop is never silent: the count of
+    excluded halves is logged (this operator is eager, so the census is an
+    exact pre-pair count, simpler than the lazy accumulator census of the
+    batch path). The BER verify stage is unchanged and decode-free (stored
+    subfp sequences)."""
     from anzlic_validator_spark.operators.dedup_state import (
-        check_store_meta,
-        commit_store_run,
-        store_live_inputs,
+        incremental_fingerprints,
     )
 
-    spark = new_clips.sparkSession
-    check_store_meta(store_dir, {"kind": "audio_neardup_fp"}, create=commit)
-    prior, next_id = store_live_inputs(store_dir, before_run_id=run_id)
-    new_fps = audio_fingerprints(
-        new_clips, key_col, bytes_col, codec_col, sr_col, parts=("frames", "subfp")
-    ).select("key", "frames", "subfp")
-    if commit:
-        new_fps = commit_store_run(
-            new_fps, store_dir, next_id if run_id is None else run_id
-        )
-    else:
-        from pyspark import StorageLevel
-
-        new_fps = new_fps.persist(StorageLevel.MEMORY_AND_DISK)
-    all_fps = (
-        spark.read.parquet(*prior).unionByName(new_fps) if prior else new_fps
+    new_fps, all_fps = incremental_fingerprints(
+        new_clips,
+        store_dir,
+        {"kind": "audio_neardup_fp"},
+        lambda df: audio_fingerprints(
+            df, key_col, bytes_col, codec_col, sr_col, parts=("frames", "subfp")
+        ).select("key", "frames", "subfp"),
+        commit,
+        run_id,
     )
     nh = new_fps.where(F.col("frames").isNotNull()).select(
         F.col("key").alias("n_key"), F.explode("frames").alias("fp")
@@ -558,6 +542,14 @@ def incremental_audio_neardup(
             .where(F.col("__n") > int(max_bucket_size))
             .select("fp")
         )
+        n_hot = hot.count()  # eager op already; exact never-silent census
+        if n_hot:
+            log.warning(
+                "incremental_audio_neardup: dropped %d hot half-subfingerprints "
+                "(> %d carriers across store+batch) from candidate generation — "
+                "pairs supported only by those halves are not reported",
+                n_hot, int(max_bucket_size),
+            )
         ah = ah.join(F.broadcast(hot), "fp", "left_anti")
         nh = nh.join(F.broadcast(hot), "fp", "left_anti")
     cand = (

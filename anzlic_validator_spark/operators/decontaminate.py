@@ -42,11 +42,14 @@ def _tokens(col: Column, normalize: bool) -> Column:
     standard decontamination canonicalization (GPT-3/PaLM data-card style):
     lowercase, punctuation stripped to spaces, whitespace-run split with
     empties dropped — so `"Hello,  WORLD!"` and `"hello world"` share
-    grams. All built-ins; both sides of the match must use the same
-    setting (threaded by the callers)."""
+    grams. Unicode-aware: ``\\p{L}\\p{N}`` keeps letters/digits of EVERY
+    script ('café', 'Über', CJK) — an ASCII-only class would delete
+    accented characters mid-word and both miss real contamination and
+    manufacture colliding short tokens (review r05). All built-ins; both
+    sides of the match must use the same setting (threaded by callers)."""
     if not normalize:
         return F.split(col, " ")
-    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")
+    cleaned = F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}\s]", " ")
     return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
 
 

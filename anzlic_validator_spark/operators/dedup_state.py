@@ -54,8 +54,13 @@ from anzlic_validator_spark.operators.dedup import (
     word_shingles_from_tokens,
 )
 
-_RUN_RE = re.compile(r"^run_(\d{5})$")
-_FOLD_RE = re.compile(r"^fold_(\d{5})$")
+# {5,}: ids are zero-padded to 5 digits but NOT capped at them — id
+# 100000 formats to 6 digits, and a fixed-width pattern would make it
+# invisible to the loader (next_id would stall and every later commit
+# would replace the same dir — silent data loss past 10^5 runs; review
+# r05). Dir LISTS are therefore sorted numerically, never lexically.
+_RUN_RE = re.compile(r"^run_(\d{5,})$")
+_FOLD_RE = re.compile(r"^fold_(\d{5,})$")
 _FOLD_MARKER = "_FOLDED"
 
 
@@ -93,10 +98,11 @@ def _run_dirs(store_dir: str) -> list[str]:
     if not os.path.isdir(store_dir):
         return []
     out = []
-    for name in sorted(os.listdir(store_dir)):
-        if _RUN_RE.match(name):
-            out.append(os.path.join(store_dir, name))
-    return out
+    for name in os.listdir(store_dir):
+        m = _RUN_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(store_dir, name)))
+    return [d for _, d in sorted(out)]  # numeric order ('run_100000' > 'run_99999')
 
 
 def store_run_dirs(store_dir: str) -> list[str]:
@@ -111,10 +117,12 @@ def _newest_fold(store_dir: str) -> tuple[str, int] | None:
     if not os.path.isdir(store_dir):
         return None
     best = None
-    for name in sorted(os.listdir(store_dir)):
+    for name in os.listdir(store_dir):
         m = _FOLD_RE.match(name)
         if m and os.path.exists(os.path.join(store_dir, name, _FOLD_MARKER)):
-            best = (os.path.join(store_dir, name), int(m.group(1)))
+            covers = int(m.group(1))  # numeric max, not lexicographic
+            if best is None or covers > best[1]:
+                best = (os.path.join(store_dir, name), covers)
     return best
 
 
@@ -230,6 +238,42 @@ def commit_store_run(df: DataFrame, store_dir: str, run_id: int) -> DataFrame:
     return spark.read.parquet(final)
 
 
+def incremental_fingerprints(
+    new_df: DataFrame,
+    store_dir: str,
+    meta: dict,
+    fingerprint_fn,
+    commit: bool,
+    run_id: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared scaffold of every incremental-store operator (text minhash,
+    audio content, audio perceptual — review r05: three hand-kept copies
+    drifted by construction): meta guard → fold-aware live inputs →
+    fingerprint ONLY the new batch → atomic commit (or persist for a
+    what-if probe) → union with the stored corpus. Returns
+    ``(new_fps, all_fps)``; ``fingerprint_fn`` maps the new batch to its
+    store-row DataFrame."""
+    spark = new_df.sparkSession
+    _check_meta(store_dir, meta, create=commit)
+    prior, next_id = store_live_inputs(store_dir, before_run_id=run_id)
+    new_fps = fingerprint_fn(new_df)
+    if commit:
+        # the commit write doubles as the batch's single fingerprint
+        # materialization; the pair plan reads it back from parquet
+        new_fps = commit_store_run(
+            new_fps, store_dir, next_id if run_id is None else run_id
+        )
+    else:
+        from pyspark import StorageLevel
+
+        # consumed by bucketing + verify joins; persist_shingles ownership
+        new_fps = new_fps.persist(StorageLevel.MEMORY_AND_DISK)
+    all_fps = (
+        spark.read.parquet(*prior).unionByName(new_fps) if prior else new_fps
+    )
+    return new_fps, all_fps
+
+
 def minhash_sigs(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 63, shingle_k: int = 3
 ) -> DataFrame:
@@ -308,30 +352,14 @@ def incremental_minhash_pairs(
     """
     if num_hashes % n_bands != 0:
         raise ValueError(f"n_bands {n_bands} must divide num_hashes {num_hashes}")
-    spark: SparkSession = new_docs.sparkSession
-    _check_meta(store_dir, _store_meta(num_hashes, n_bands, shingle_k), create=commit)
-    # fold-aware: a compacted store reads (newest fold + newer runs);
-    # run_id restricts to strictly-older rows (retry semantics)
-    prior, next_id = store_live_inputs(store_dir, before_run_id=run_id)
-
-    new_sigs = minhash_sigs(new_docs, text_col, id_col, num_hashes, shingle_k)
-    if commit:
-        # read back: the ONE signature computation per row, ever
-        new_sigs = commit_store_run(
-            new_sigs, store_dir, next_id if run_id is None else run_id
-        )
-    else:
-        from pyspark import StorageLevel
-
-        # consumed by bucketing + both verify joins; see minhash's
-        # persist_shingles ownership note
-        new_sigs = new_sigs.persist(StorageLevel.MEMORY_AND_DISK)
-
-    if prior:
-        old_sigs = spark.read.parquet(*prior)
-        all_sigs = old_sigs.unionByName(new_sigs)
-    else:
-        all_sigs = new_sigs
+    new_sigs, all_sigs = incremental_fingerprints(
+        new_docs,
+        store_dir,
+        _store_meta(num_hashes, n_bands, shingle_k),
+        lambda df: minhash_sigs(df, text_col, id_col, num_hashes, shingle_k),
+        commit,
+        run_id,
+    )
 
     nb = _band_rows(new_sigs, num_hashes, n_bands).withColumnRenamed("id", "n_id")
     ab = _band_rows(all_sigs, num_hashes, n_bands).withColumnRenamed("id", "o_id")

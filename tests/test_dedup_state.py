@@ -412,6 +412,35 @@ def test_dedup_stream_auto_compaction(spark, tmp_path):
     assert names == ["fold_00001", "run_00002"]
 
 
+def test_run_ids_past_five_digits_stay_visible(tmp_path):
+    """Review r05: run id 100000 formats to 6 digits; the loader must list
+    it (a fixed 5-digit pattern made it invisible — next_id would stall and
+    every later commit would silently replace the same dir) and order dirs
+    NUMERICALLY ('run_100000' sorts before 'run_99999' lexically)."""
+    from anzlic_validator_spark.operators.dedup_state import (
+        _newest_fold,
+        store_live_inputs,
+    )
+
+    store = tmp_path / "store"
+    for rid in (99998, 99999, 100000):
+        (store / f"run_{rid:05d}").mkdir(parents=True)
+    dirs, next_id = store_live_inputs(str(store))
+    assert [os.path.basename(d) for d in dirs] == [
+        "run_99998", "run_99999", "run_100000"
+    ]
+    assert next_id == 100001
+    # fold coverage is also compared numerically
+    for cov in (99999, 100000):
+        f = store / f"fold_{cov:05d}"
+        f.mkdir()
+        (f / "_FOLDED").touch()
+    assert _newest_fold(str(store))[1] == 100000
+    dirs2, next_id2 = store_live_inputs(str(store))
+    assert [os.path.basename(d) for d in dirs2] == ["fold_100000"]
+    assert next_id2 == 100001
+
+
 def test_minhash_sigs_match_store_reread(spark, tmp_path):
     """The signatures the verify stage reads back from parquet are the
     signatures the plan computed — i.e. sig arrays round-trip exactly."""

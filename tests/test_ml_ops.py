@@ -419,6 +419,23 @@ def test_decontaminate_k_boundary(spark):
         ).collect()
     }
     assert norm == {9: 1}
+    # normalization is Unicode-aware (review r05): accented letters are
+    # KEPT ('Café' ~ 'café'), not deleted to a colliding 'caf'
+    uev = spark.createDataFrame([("café au lait noir",)], "text string")
+    udocs = spark.createDataFrame(
+        [
+            (1, "le Café, au LAIT noir!"),   # matches with normalize
+            (2, "le cafe au lait noir"),     # accent-stripped variant: no match
+        ],
+        "doc_id long, text string",
+    )
+    uhits = {
+        r.doc_id
+        for r in contamination_hits(
+            udocs, uev, "text", "doc_id", k=4, normalize=True
+        ).collect()
+    }
+    assert uhits == {1}
 
 
 def test_winnow_fingerprints_and_near_dups(spark):
