@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup_incremental": demo_incremental.q_audio_dedup_incremental,
         "stream_dedup": demo_incremental.q_stream_dedup,
         "audio_neardup_incremental": demo_incremental.q_audio_neardup_incremental,
+        "embedding_dedup_incremental": demo_incremental.q_embedding_dedup_incremental,
     }
 
 
@@ -281,4 +282,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_dedup_incremental": demo_incremental.SQL_AUDIO_DEDUP_INCREMENTAL,
         "stream_dedup": demo_incremental.SQL_STREAM_DEDUP,
         "audio_neardup_incremental": demo_incremental.SQL_AUDIO_NEARDUP_INCREMENTAL,
+        "embedding_dedup_incremental": demo_incremental.SQL_EMBEDDING_DEDUP_INCREMENTAL,
     }

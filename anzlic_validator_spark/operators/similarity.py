@@ -182,6 +182,98 @@ def embedding_near_duplicates(
     )
 
 
+def incremental_embedding_neardup(
+    new_df: DataFrame,
+    store_dir: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = 10_000,
+    commit: bool = True,
+    run_id: int | None = None,
+) -> DataFrame:
+    """Cross-run incremental EMBEDDING near-dup — the vector twin of the
+    minhash/audio fingerprint stores (operators/dedup_state.py scaffold:
+    atomic run commits, meta param guard incl. the SRP configuration,
+    run_id retry idempotency, fold-aware compaction): run N+1 embeds
+    nothing and SRP-hashes ONLY its new vectors; stored rows carry both
+    the vector (for the exact-cosine verify) and the precomputed SRP
+    bucket array (so pairing against 10^12 stored vectors never re-runs
+    the hashing UDF over the store — only parquet scans move).
+
+    Returns (a_id, b_id, cos) pairs involving >= 1 new vector, cos >=
+    threshold. Hot SRP buckets (> max_bucket_size carriers across
+    store+batch; zero-ish embeddings concentrate there) are excluded from
+    candidate generation with an exact logged census — this operator is
+    eager, so the census costs one tiny count."""
+    import logging
+
+    from anzlic_validator_spark.operators.dedup_state import (
+        incremental_fingerprints,
+    )
+
+    log = logging.getLogger(__name__)
+    buckets_udf = make_srp_buckets_udf(dim, bits, n_tables, seed)
+    new_v, all_v = incremental_fingerprints(
+        new_df,
+        store_dir,
+        {"kind": "embedding_srp", "dim": dim, "bits": bits,
+         "n_tables": n_tables, "seed": seed},
+        lambda df: df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).withColumn("bkts", buckets_udf(F.col("v"))),
+        commit,
+        run_id,
+    )
+    nb = new_v.select(
+        F.col("id").alias("n_id"), F.posexplode("bkts").alias("tbl", "bkt")
+    )
+    ab = all_v.select(
+        F.col("id").alias("o_id"), F.posexplode("bkts").alias("tbl", "bkt")
+    )
+    if max_bucket_size is not None:
+        hot = (
+            ab.groupBy("tbl", "bkt")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > int(max_bucket_size))
+            .select("tbl", "bkt")
+        )
+        n_hot = hot.count()
+        if n_hot:
+            log.warning(
+                "incremental_embedding_neardup: dropped %d hot SRP buckets "
+                "(> %d carriers across store+batch) from candidate generation",
+                n_hot, int(max_bucket_size),
+            )
+        ab = ab.join(F.broadcast(hot), ["tbl", "bkt"], "left_anti")
+        nb = nb.join(F.broadcast(hot), ["tbl", "bkt"], "left_anti")
+    cand = (
+        nb.join(ab, ["tbl", "bkt"])
+        .where(F.col("n_id") != F.col("o_id"))
+        .select(
+            F.least("n_id", "o_id").alias("a_id"),
+            F.greatest("n_id", "o_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    vv = all_v.withColumn("__n", l2_norm(F.col("v")))
+    va = vv.select(F.col("id").alias("a_id"), F.col("v").alias("__va"), F.col("__n").alias("__na"))
+    vb = vv.select(F.col("id").alias("b_id"), F.col("v").alias("__vb"), F.col("__n").alias("__nb"))
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= F.lit(float(threshold)))
+        .select("a_id", "b_id", F.round("cos", 4).alias("cos"))
+    )
+
+
 def _centroid_assign_udf(centroids: np.ndarray, n_probe: int):
     """Arrow pandas UDF: embedding → the ids of its ``n_probe`` nearest
     centroids (ascending L2 distance), as one vectorized matmul per batch.

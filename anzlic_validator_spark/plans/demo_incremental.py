@@ -478,6 +478,53 @@ FROM (SELECT CAST(r.range AS BIGINT) AS j FROM range(15) r)
 """
 
 
+def q_embedding_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup on the gate: run 1 commits the whole
+    embeddings table (vectors + precomputed SRP buckets) to a staged store
+    — no pairs (the raw table has no cos >= 0.99 pairs, per the
+    dedup_embedding oracle). Run 2 passes ONLY scaled copies (x1.01 of
+    every %25 vector, x0.99 of every %50) — scaling preserves direction,
+    so every copy shares ALL SRP buckets with its source and cosine is
+    exactly 1 — and must emit exactly the new-vs-old and new-vs-new copy
+    pairs. Output (a_id, b_id, cos)."""
+    from anzlic_validator_spark.operators.similarity import (
+        incremental_embedding_neardup,
+    )
+    from anzlic_validator_spark.sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="sg_emb_state_")
+    try:
+        store = os.path.join(base, "store")
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        p1 = incremental_embedding_neardup(emb, store, dim=64)
+        if p1.count() != 0:
+            raise RuntimeError("embedding_dedup_incremental: run 1 emitted pairs")
+        c1 = emb.where(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+        )
+        c2 = emb.where(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 300000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.99)).alias("embedding"),
+        )
+        p2 = incremental_embedding_neardup(c1.unionByName(c2), store, dim=64)
+        rows = p2.collect()
+        return spark.createDataFrame(rows, "a_id long, b_id long, cos double")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_EMBEDDING_DEDUP_INCREMENTAL = """
+WITH v AS (SELECT vec_id FROM embeddings)
+SELECT vec_id AS a_id, vec_id + 200000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
+FROM v WHERE vec_id % 25 = 0
+UNION ALL
+SELECT vec_id, vec_id + 300000, CAST(1.0 AS DOUBLE) FROM v WHERE vec_id % 50 = 0
+UNION ALL
+SELECT vec_id + 200000, vec_id + 300000, CAST(1.0 AS DOUBLE) FROM v WHERE vec_id % 50 = 0
+"""
+
+
 # -------------------------------------------------------------- resume
 
 _RESUME_RULES = """\

@@ -185,6 +185,7 @@ QUERY_NAMES = [
     "audio_dedup_incremental",
     "stream_dedup",
     "audio_neardup_incremental",
+    "embedding_dedup_incremental",
 ]
 
 

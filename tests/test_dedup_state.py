@@ -412,6 +412,42 @@ def test_dedup_stream_auto_compaction(spark, tmp_path):
     assert names == ["fold_00001", "run_00002"]
 
 
+def test_incremental_embedding_neardup_store(spark, tmp_path):
+    """Embedding twin of the fingerprint stores: stored rows carry vector
+    + precomputed SRP buckets, so run 2's pair plan runs NO hashing UDF
+    over the store (plan asserted); scaled copies pair with their source
+    (cos 1.0) new-vs-old and new-vs-new; the store kind/params are
+    guarded."""
+    import numpy as np
+
+    from anzlic_validator_spark.operators.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(3)))
+    vecs = rng.standard_normal((6, 16))
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+    store = str(tmp_path / "estore")
+    run1 = df([(i, vecs[i]) for i in range(6)])
+    assert incremental_embedding_neardup(run1, store, dim=16).count() == 0
+    run2 = df([(100, vecs[2] * 1.01), (200, vecs[2] * 0.5)])
+    p2 = incremental_embedding_neardup(run2, store, dim=16)
+    got = {(r.a_id, r.b_id): r.cos for r in p2.collect()}
+    assert set(got) == {(2, 100), (2, 200), (100, 200)}
+    assert all(c == 1.0 for c in got.values())
+    plan = p2._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "Scan parquet" in plan
+    # SRP param drift against an existing store raises
+    with pytest.raises(ValueError, match="incompatible"):
+        incremental_embedding_neardup(run2, store, dim=16, bits=4)
+
+
 def test_run_ids_past_five_digits_stay_visible(tmp_path):
     """Review r05: run id 100000 formats to 6 digits; the loader must list
     it (a fixed 5-digit pattern made it invisible — next_id would stall and
