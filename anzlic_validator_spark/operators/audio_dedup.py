@@ -506,15 +506,13 @@ def incremental_audio_neardup(
     halves per pair — the asymmetric join sees both orientations of a
     new-new pair, which would otherwise double the score.
 
-    Hot-half degeneracy at scale (same as audio_near_duplicates_frames):
-    ``max_bucket_size`` drops halves carried by more than that many clips
-    ACROSS THE STORE PLUS THE CURRENT BATCH from candidate generation
-    (left-anti against the tiny hot-half list, broadcast) — such halves
-    carry no discriminative signal. The drop is never silent: the count of
-    excluded halves is logged (this operator is eager, so the census is an
-    exact pre-pair count, simpler than the lazy accumulator census of the
-    batch path). The BER verify stage is unchanged and decode-free (stored
-    subfp sequences)."""
+    Hot-half degeneracy at scale: handled by the shared
+    ``exclude_hot_buckets`` helper — the store side is first restricted to
+    halves TOUCHED by the new batch (so the census and join scan only the
+    relevant slice of a 10^12-clip store), then halves with more than
+    ``max_bucket_size`` carriers among those are dropped with an exact
+    logged census (never silent). The BER verify stage is unchanged and
+    decode-free (stored subfp sequences)."""
     from anzlic_validator_spark.operators.dedup_state import (
         incremental_fingerprints,
     )
@@ -529,29 +527,17 @@ def incremental_audio_neardup(
         commit,
         run_id,
     )
+    from anzlic_validator_spark.operators.dedup_state import exclude_hot_buckets
+
     nh = new_fps.where(F.col("frames").isNotNull()).select(
         F.col("key").alias("n_key"), F.explode("frames").alias("fp")
     )
     ah = all_fps.where(F.col("frames").isNotNull()).select(
         F.col("key").alias("o_key"), F.explode("frames").alias("fp")
     )
-    if max_bucket_size is not None:
-        hot = (
-            ah.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > int(max_bucket_size))
-            .select("fp")
-        )
-        n_hot = hot.count()  # eager op already; exact never-silent census
-        if n_hot:
-            log.warning(
-                "incremental_audio_neardup: dropped %d hot half-subfingerprints "
-                "(> %d carriers across store+batch) from candidate generation — "
-                "pairs supported only by those halves are not reported",
-                n_hot, int(max_bucket_size),
-            )
-        ah = ah.join(F.broadcast(hot), "fp", "left_anti")
-        nh = nh.join(F.broadcast(hot), "fp", "left_anti")
+    nh, ah = exclude_hot_buckets(
+        nh, ah, ["fp"], max_bucket_size, "incremental_audio_neardup"
+    )
     cand = (
         nh.join(ah, "fp")
         .where(F.col("n_key") != F.col("o_key"))

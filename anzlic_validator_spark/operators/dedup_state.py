@@ -43,6 +43,7 @@ silently breaks agreement estimates, so a mismatch raises instead.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 
@@ -53,6 +54,8 @@ from anzlic_validator_spark.operators.dedup import (
     minhash_signature,
     word_shingles_from_tokens,
 )
+
+log = logging.getLogger(__name__)
 
 # {5,}: ids are zero-padded to 5 digits but NOT capped at them — id
 # 100000 formats to 6 digits, and a fixed-width pattern would make it
@@ -272,6 +275,47 @@ def incremental_fingerprints(
         spark.read.parquet(*prior).unionByName(new_fps) if prior else new_fps
     )
     return new_fps, all_fps
+
+
+def exclude_hot_buckets(
+    nb: DataFrame,
+    ab: DataFrame,
+    keys: list[str],
+    cap: int | None,
+    what: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared hot-bucket handling for the incremental candidate joins
+    (audio halves, embedding SRP buckets — review r05): FIRST restrict the
+    store side to buckets TOUCHED by the new batch (left-semi against the
+    batch's distinct key set — small and broadcastable), so both the
+    census and the candidate join scan O(rows in touched buckets), never
+    the whole store; THEN drop touched buckets with more than ``cap``
+    carriers, with an exact eager census (these operators are eager — the
+    count job is bounded by the touched restriction) logged, never silent.
+    The hot list is a subset of the batch's bucket set, so its broadcast
+    is bounded by the batch size, not the store."""
+    touched = nb.select(*keys).distinct()
+    ab = ab.join(F.broadcast(touched), keys, "left_semi")
+    if cap is None:
+        return nb, ab
+    hot = (
+        ab.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > int(cap))
+        .select(*keys)
+    )
+    n_hot = hot.count()
+    if n_hot:
+        log.warning(
+            "%s: dropped %d hot buckets (> %d carriers across store+batch "
+            "among batch-touched buckets) from candidate generation — pairs "
+            "supported only by those buckets are not reported",
+            what, n_hot, int(cap),
+        )
+    return (
+        nb.join(F.broadcast(hot), keys, "left_anti"),
+        ab.join(F.broadcast(hot), keys, "left_anti"),
+    )
 
 
 def minhash_sigs(

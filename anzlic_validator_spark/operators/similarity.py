@@ -170,15 +170,33 @@ def embedding_near_duplicates(
     cand = lsh_candidate_pairs(
         bucketed, ["tbl", "bkt"], ["id"], max_bucket_size, "embedding_lsh"
     ).select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-    va = base.select(F.col("id").alias("a_id"), F.col("__v").alias("__va"), F.col("__vn").alias("__na"))
-    vb = base.select(F.col("id").alias("b_id"), F.col("__v").alias("__vb"), F.col("__vn").alias("__nb"))
+    return cosine_verify_pairs(
+        cand, base.select("id", F.col("__v").alias("v"), F.col("__vn").alias("nrm")),
+        threshold,
+    )
+
+
+def cosine_verify_pairs(
+    cand: DataFrame, vectors: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-cosine verify shared by the batch and incremental embedding
+    dedups (review r05: the verify shape was drifting into copies):
+    ``cand (a_id, b_id)`` joined against ``vectors (id, v, nrm)`` on both
+    sides → (a_id, b_id, cos) with cos >= threshold, compared UNROUNDED
+    and rounded to 4 decimals for output."""
+    va = vectors.select(
+        F.col("id").alias("a_id"), F.col("v").alias("__va"), F.col("nrm").alias("__na")
+    )
+    vb = vectors.select(
+        F.col("id").alias("b_id"), F.col("v").alias("__vb"), F.col("nrm").alias("__nb")
+    )
     cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         cand.join(va, "a_id")
         .join(vb, "b_id")
-        .withColumn("cos", cos)
-        .where(F.col("cos") >= F.lit(threshold))
-        .select("a_id", "b_id", F.round("cos", 4).alias("cos"))
+        .withColumn("__cos", cos)
+        .where(F.col("__cos") >= F.lit(float(threshold)))
+        .select("a_id", "b_id", F.round("__cos", 4).alias("cos"))
     )
 
 
@@ -206,17 +224,17 @@ def incremental_embedding_neardup(
     the hashing UDF over the store — only parquet scans move).
 
     Returns (a_id, b_id, cos) pairs involving >= 1 new vector, cos >=
-    threshold. Hot SRP buckets (> max_bucket_size carriers across
-    store+batch; zero-ish embeddings concentrate there) are excluded from
-    candidate generation with an exact logged census — this operator is
-    eager, so the census costs one tiny count."""
-    import logging
-
+    threshold. Hot SRP buckets (zero-ish embeddings concentrate there)
+    are handled by the shared ``exclude_hot_buckets`` helper: the store
+    side is first restricted to buckets the batch touches — so the census
+    and join scan that slice, never the whole store — then over-cap
+    buckets drop with an exact logged census. Norms are computed ONCE at
+    commit and stored (the verify re-reads them; review r05)."""
     from anzlic_validator_spark.operators.dedup_state import (
+        exclude_hot_buckets,
         incremental_fingerprints,
     )
 
-    log = logging.getLogger(__name__)
     buckets_udf = make_srp_buckets_udf(dim, bits, n_tables, seed)
     new_v, all_v = incremental_fingerprints(
         new_df,
@@ -226,7 +244,9 @@ def incremental_embedding_neardup(
         lambda df: df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
-        ).withColumn("bkts", buckets_udf(F.col("v"))),
+        )
+        .withColumn("bkts", buckets_udf(F.col("v")))
+        .withColumn("nrm", l2_norm(F.col("v"))),
         commit,
         run_id,
     )
@@ -236,22 +256,9 @@ def incremental_embedding_neardup(
     ab = all_v.select(
         F.col("id").alias("o_id"), F.posexplode("bkts").alias("tbl", "bkt")
     )
-    if max_bucket_size is not None:
-        hot = (
-            ab.groupBy("tbl", "bkt")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > int(max_bucket_size))
-            .select("tbl", "bkt")
-        )
-        n_hot = hot.count()
-        if n_hot:
-            log.warning(
-                "incremental_embedding_neardup: dropped %d hot SRP buckets "
-                "(> %d carriers across store+batch) from candidate generation",
-                n_hot, int(max_bucket_size),
-            )
-        ab = ab.join(F.broadcast(hot), ["tbl", "bkt"], "left_anti")
-        nb = nb.join(F.broadcast(hot), ["tbl", "bkt"], "left_anti")
+    nb, ab = exclude_hot_buckets(
+        nb, ab, ["tbl", "bkt"], max_bucket_size, "incremental_embedding_neardup"
+    )
     cand = (
         nb.join(ab, ["tbl", "bkt"])
         .where(F.col("n_id") != F.col("o_id"))
@@ -261,17 +268,7 @@ def incremental_embedding_neardup(
         )
         .distinct()
     )
-    vv = all_v.withColumn("__n", l2_norm(F.col("v")))
-    va = vv.select(F.col("id").alias("a_id"), F.col("v").alias("__va"), F.col("__n").alias("__na"))
-    vb = vv.select(F.col("id").alias("b_id"), F.col("v").alias("__vb"), F.col("__n").alias("__nb"))
-    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
-    return (
-        cand.join(va, "a_id")
-        .join(vb, "b_id")
-        .withColumn("cos", cos)
-        .where(F.col("cos") >= F.lit(float(threshold)))
-        .select("a_id", "b_id", F.round("cos", 4).alias("cos"))
-    )
+    return cosine_verify_pairs(cand, all_v.select("id", "v", "nrm"), threshold)
 
 
 def _centroid_assign_udf(centroids: np.ndarray, n_probe: int):

@@ -499,12 +499,14 @@ def q_embedding_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         p1 = incremental_embedding_neardup(emb, store, dim=64)
         if p1.count() != 0:
             raise RuntimeError("embedding_dedup_incremental: run 1 emitted pairs")
+        # 10^9 offsets: collision-proof against any realistic table size
+        # (the +200000 convention would collide past 2*10^5 rows; review r05)
         c1 = emb.where(F.col("vec_id") % 25 == 0).select(
-            (F.col("vec_id") + 200000).alias("vec_id"),
+            (F.col("vec_id") + 1000000000).alias("vec_id"),
             F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
         )
         c2 = emb.where(F.col("vec_id") % 50 == 0).select(
-            (F.col("vec_id") + 300000).alias("vec_id"),
+            (F.col("vec_id") + 2000000000).alias("vec_id"),
             F.transform("embedding", lambda x: x * F.lit(0.99)).alias("embedding"),
         )
         p2 = incremental_embedding_neardup(c1.unionByName(c2), store, dim=64)
@@ -516,12 +518,13 @@ def q_embedding_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 SQL_EMBEDDING_DEDUP_INCREMENTAL = """
 WITH v AS (SELECT vec_id FROM embeddings)
-SELECT vec_id AS a_id, vec_id + 200000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
+SELECT vec_id AS a_id, vec_id + 1000000000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
 FROM v WHERE vec_id % 25 = 0
 UNION ALL
-SELECT vec_id, vec_id + 300000, CAST(1.0 AS DOUBLE) FROM v WHERE vec_id % 50 = 0
+SELECT vec_id, vec_id + 2000000000, CAST(1.0 AS DOUBLE) FROM v WHERE vec_id % 50 = 0
 UNION ALL
-SELECT vec_id + 200000, vec_id + 300000, CAST(1.0 AS DOUBLE) FROM v WHERE vec_id % 50 = 0
+SELECT vec_id + 1000000000, vec_id + 2000000000, CAST(1.0 AS DOUBLE)
+FROM v WHERE vec_id % 50 = 0
 """
 
 

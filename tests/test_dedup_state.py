@@ -446,6 +446,50 @@ def test_incremental_embedding_neardup_store(spark, tmp_path):
     # SRP param drift against an existing store raises
     with pytest.raises(ValueError, match="incompatible"):
         incremental_embedding_neardup(run2, store, dim=16, bits=4)
+    # norms are stored at commit (verify never recomputes them per run)
+    r0 = spark.read.parquet(os.path.join(store, "run_00000"))
+    assert {"id", "v", "bkts", "nrm"} <= set(r0.columns)
+
+
+def test_exclude_hot_buckets_census_and_drop(spark, caplog):
+    """Review r05: the hand-rolled hot-bucket path must actually DROP and
+    actually LOG. Identical-direction vectors land in one SRP bucket per
+    table; with a cap below the carrier count every candidate disappears
+    and the census warning fires; with the cap above, pairs return."""
+    import logging
+
+    import numpy as np
+
+    from anzlic_validator_spark.operators.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(9)))
+    base_v = rng.standard_normal(16)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+    run1 = df([(i, base_v * (1.0 + 0.001 * i)) for i in range(4)])
+    run2 = df([(100, base_v * 1.5)])
+    with caplog.at_level(logging.WARNING,
+                         logger="anzlic_validator_spark.operators.dedup_state"):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d1:
+            s = os.path.join(d1, "s")
+            incremental_embedding_neardup(run1, s, dim=16, max_bucket_size=3)
+            out = incremental_embedding_neardup(run2, s, dim=16, max_bucket_size=3)
+            assert out.count() == 0  # every shared bucket is hot -> dropped
+        with tempfile.TemporaryDirectory() as d2:
+            s = os.path.join(d2, "s")
+            incremental_embedding_neardup(run1, s, dim=16, max_bucket_size=100)
+            out = incremental_embedding_neardup(run2, s, dim=16, max_bucket_size=100)
+            assert out.count() == 4  # cap above carriers: all pairs back
+    assert any("hot buckets" in r.message for r in caplog.records)
 
 
 def test_run_ids_past_five_digits_stay_visible(tmp_path):
