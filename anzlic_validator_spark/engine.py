@@ -153,23 +153,35 @@ class ValidationResult:
 
         Reserved-key violations ('__table__', '__group__|...') are excluded
         from per-record verdicts but present in .violations.
+
+        Shape (r06, guide §2.4): records (as NULL markers) and violation
+        rows UNION into ONE groupBy on the key — min() skips the NULL
+        markers and count(col) counts only violation rows, so a single
+        map-side-combined exchange replaces the former
+        distinct + groupBy + null-safe-join (3 exchanges + a join). NULL
+        keys are one group, matching the old eqNullSafe pairing.
         """
-        keys = self.df.select(F.col(self.key_col).cast("string").alias("key")).distinct()
-        per_key = (
-            self.violations_ranked.where(is_record_key("key"))
+        marker_t = "struct<rule_order:int,rule_id:string>"
+        records = self.df.select(
+            F.col(self.key_col).cast("string").alias("key"),
+            F.lit(None).cast(marker_t).alias("__v"),
+        )
+        viol = self.violations_ranked.where(is_record_key("key")).select(
+            "key", F.struct("rule_order", "rule_id").alias("__v")
+        )
+        return (
+            records.unionByName(viol)
             .groupBy("key")
             .agg(
-                F.min(F.struct("rule_order", "rule_id")).alias("__first"),
-                F.count(F.lit(1)).alias("n_violations"),
+                F.min("__v").alias("__first"),
+                F.count("__v").alias("n_violations"),
             )
-        )
-        # null-safe join: NULL-keyed records must pair with their NULL-keyed
-        # violation group instead of reading as spuriously passed
-        return keys.join(per_key, on=keys["key"].eqNullSafe(per_key["key"]), how="left").select(
-            keys["key"].alias("key"),
-            F.col("__first").isNull().alias("passed"),
-            F.col("__first.rule_id").alias("first_rule_id"),
-            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+            .select(
+                "key",
+                F.col("__first").isNull().alias("passed"),
+                F.col("__first.rule_id").alias("first_rule_id"),
+                "n_violations",
+            )
         )
 
     def partition_summary(self, n_buckets: int = 16) -> DataFrame:

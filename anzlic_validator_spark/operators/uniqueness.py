@@ -5,19 +5,20 @@ Reference: exactly-one-occurrence cardinality check raising
 checkAddress :411-432) and the duplicate-field sweep
 (testing-dublin-core.py:72-83).
 
-Scale design (north_star: "uniqueness via salted hash-repartition on clip_id
-with skew-aware AQE splits"): a plain ``groupBy(key).count()`` dies when one
-key holds a large share of a 10^12-row table — a single reducer gets the hot
-key. We do a SALTED two-phase aggregate:
-
-    phase 1: groupBy(key, salt) partial counts   (hot key spread over S salts)
-    phase 2: groupBy(key) sum(partial)           (S rows per key, tiny)
-
-Both phases are map-side-combined hash aggregates; AQE
-(`spark.sql.adaptive.enabled`) additionally splits skewed shuffle partitions
-at runtime. The dup-key set is then joined back (Catalyst/AQE picks broadcast
-when the dup set is small — the common case) to emit one violation row per
-offending record, matching the reference's per-record exception granularity.
+Scale design: ONE map-side-combined hash aggregate. count() is algebraic, so
+Spark's partial aggregation already does the "salting" for free — each map
+partition collapses to ONE row per key BEFORE the exchange, so a hot key
+holding a large share of a 10^12-row table ships O(#map partitions) partial
+rows, never O(occurrences). The r01–r05 explicit salt phase
+(groupBy(key, salt) → groupBy(key)) duplicated that guarantee at the cost of
+a SECOND full exchange of (key, salt) rows — removed in r06 (optimization
+guide §2.3/§2.4: partial aggregation IS the skew treatment for algebraic
+aggregates; salting is for joins and non-combinable aggregates). AQE
+(`spark.sql.adaptive.enabled`) still splits any residual skewed shuffle
+partition at runtime. The dup-key set is then joined back (Catalyst/AQE
+picks broadcast when the dup set is small — the common case) to emit one
+violation row per offending record, matching the reference's per-record
+exception granularity.
 """
 
 from __future__ import annotations
@@ -27,23 +28,23 @@ from pyspark.sql import functions as F
 
 from anzlic_validator_spark.rules import Rule
 
-DEFAULT_SALTS = 32
+DEFAULT_SALTS = 32  # kept for API compatibility; see duplicate_keys
 
 
 def duplicate_keys(df: DataFrame, cols: list[str], n_salts: int = DEFAULT_SALTS) -> DataFrame:
     """Keys occurring more than once, with their total count.
 
     Returns DataFrame[cols..., n: long] — only keys with n > 1.
+
+    ``n_salts`` is accepted for API compatibility but unused: the partial
+    (map-side) aggregation of count() already collapses hot keys to one row
+    per map partition before the shuffle, which is exactly what the former
+    explicit salt phase bought — minus its extra exchange (see module doc).
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias("__salt")
-    partial = (
-        df.select(*cols, salt)
-        .groupBy(*cols, "__salt")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
     return (
-        partial.groupBy(*cols)
-        .agg(F.sum("__n").alias("n"))
+        df.select(*cols)
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
     )
 
