@@ -349,6 +349,7 @@ def audio_verify_pairs(
     b_col: str = "b_key",
     max_ber: float = 0.25,
     max_offset: int = 2,
+    broadcast_cand: bool = False,
 ) -> DataFrame:
     """VERIFY stage for audio near-dup candidates (VERDICT r04 #3): the
     Haitsma-Kalker acceptance test the candidate stage's docstring promises.
@@ -373,15 +374,20 @@ def audio_verify_pairs(
     aligned overlap is empty (offset exceeds a clip) score BER 1.0 and are
     rejected.
 
+    ``broadcast_cand=True`` (the incremental-store path) pins the
+    candidate side as the broadcast build of both subfp joins so the
+    store-side fingerprint table only ever streams — the same verify-join
+    pinning as cosine_verify_pairs (VERDICT r05 #2).
+
     Returns (a_col, b_col, ber) with ber rounded to 4 decimals.
     """
     seqs = fps.where(F.col("subfp").isNotNull()).select(
         F.col("key"), F.col("subfp")
     )
-    joined = (
-        cand.join(seqs.select(F.col("key").alias(a_col), F.col("subfp").alias("__sa")), a_col)
-        .join(seqs.select(F.col("key").alias(b_col), F.col("subfp").alias("__sb")), b_col)
-    )
+    sa_side = seqs.select(F.col("key").alias(a_col), F.col("subfp").alias("__sa"))
+    sb_side = seqs.select(F.col("key").alias(b_col), F.col("subfp").alias("__sb"))
+    j1 = (F.broadcast(cand) if broadcast_cand else cand).join(sa_side, a_col)
+    joined = (F.broadcast(j1) if broadcast_cand else j1).join(sb_side, b_col)
     sa, sb = F.col("__sa"), F.col("__sb")
 
     def ber_at(o):
@@ -428,6 +434,7 @@ def incremental_audio_dedup(
     sr_col: str = "sr_hz",
     commit: bool = True,
     run_id: int | None = None,
+    persist_new: bool = True,
 ) -> DataFrame:
     """Cross-run incremental AUDIO content dedup — the audio-payload twin
     of operators/dedup_state.incremental_minhash_pairs, sharing its store
@@ -463,6 +470,7 @@ def incremental_audio_dedup(
         ).select("key", "content_fp"),
         commit,
         run_id,
+        persist_new,
     )
     nf = new_fps.where(F.col("content_fp").isNotNull()).withColumnRenamed(
         "key", "n_key"
@@ -494,6 +502,7 @@ def incremental_audio_neardup(
     max_bucket_size: int | None = 10_000,
     commit: bool = True,
     run_id: int | None = None,
+    persist_new: bool = True,
 ) -> DataFrame:
     """Cross-run incremental PERCEPTUAL audio near-dup: the verified
     frame-match pipeline (candidates by shared tagged halves → best-offset
@@ -526,6 +535,7 @@ def incremental_audio_neardup(
         ).select("key", "frames", "subfp"),
         commit,
         run_id,
+        persist_new,
     )
     from anzlic_validator_spark.operators.dedup_state import exclude_hot_buckets
 
@@ -550,7 +560,8 @@ def incremental_audio_neardup(
         .select("a_key", "b_key")
     )
     return audio_verify_pairs(
-        cand, all_fps, max_ber=max_ber, max_offset=max_offset
+        cand, all_fps, max_ber=max_ber, max_offset=max_offset,
+        broadcast_cand=True,
     )
 
 

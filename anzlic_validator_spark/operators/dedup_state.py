@@ -184,8 +184,10 @@ def compact_store(
     ``up_to``: fold only runs with id <= up_to (an epoch-keyed caller
     passes current_epoch - 1 so ITS OWN epoch stays individually
     retryable). Full-row duplicates across runs (pre-run_id retries)
-    collapse in the fold. Returns the fold path, or None if fewer than two
-    live inputs would fold."""
+    collapse in the fold. Returns the fold path, or None when there is no
+    uncovered run to fold (a lone existing fold stays as-is); a SINGLE
+    live run does fold into a one-dir fold — intended behavior, relied on
+    by streaming auto-compaction (ADVICE r05)."""
     import shutil
 
     fold = _newest_fold(store_dir)
@@ -248,6 +250,7 @@ def incremental_fingerprints(
     fingerprint_fn,
     commit: bool,
     run_id: int | None,
+    persist_new: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared scaffold of every incremental-store operator (text minhash,
     audio content, audio perceptual — review r05: three hand-kept copies
@@ -255,7 +258,17 @@ def incremental_fingerprints(
     fingerprint ONLY the new batch → atomic commit (or persist for a
     what-if probe) → union with the stored corpus. Returns
     ``(new_fps, all_fps)``; ``fingerprint_fn`` maps the new batch to its
-    store-row DataFrame."""
+    store-row DataFrame.
+
+    ``persist_new`` applies to the ``commit=False`` what-if path only (a
+    commit's parquet write IS the materialization): the new batch's
+    fingerprints are persisted because bucketing + both verify-join sides
+    consume them. The handle is internal, so repeated what-if probes in a
+    long-lived session accumulate cached blocks until ContextCleaner runs
+    (ADVICE r05) — such callers should pass ``persist_new=False``
+    (recompute per consumer) or ``spark.catalog.clearCache()`` after
+    consuming, the minhash_near_duplicates ``persist_shingles`` ownership
+    contract."""
     spark = new_df.sparkSession
     _check_meta(store_dir, meta, create=commit)
     prior, next_id = store_live_inputs(store_dir, before_run_id=run_id)
@@ -266,15 +279,20 @@ def incremental_fingerprints(
         new_fps = commit_store_run(
             new_fps, store_dir, next_id if run_id is None else run_id
         )
-    else:
+    elif persist_new:
         from pyspark import StorageLevel
 
-        # consumed by bucketing + verify joins; persist_shingles ownership
         new_fps = new_fps.persist(StorageLevel.MEMORY_AND_DISK)
     all_fps = (
         spark.read.parquet(*prior).unionByName(new_fps) if prior else new_fps
     )
     return new_fps, all_fps
+
+
+# hot lists above this size abandon the collected-literal anti-join for the
+# plan-side broadcast anti-join (a pathological batch where most touched
+# buckets are hot must not pull them all to the driver)
+_HOT_COLLECT_LIMIT = 100_000
 
 
 def exclude_hot_buckets(
@@ -285,15 +303,31 @@ def exclude_hot_buckets(
     what: str,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared hot-bucket handling for the incremental candidate joins
-    (audio halves, embedding SRP buckets — review r05): FIRST restrict the
-    store side to buckets TOUCHED by the new batch (left-semi against the
-    batch's distinct key set — small and broadcastable), so both the
-    census and the candidate join scan O(rows in touched buckets), never
-    the whole store; THEN drop touched buckets with more than ``cap``
-    carriers, with an exact eager census (these operators are eager — the
-    count job is bounded by the touched restriction) logged, never silent.
-    The hot list is a subset of the batch's bucket set, so its broadcast
-    is bounded by the batch size, not the store."""
+    (text minhash bands, audio halves, embedding SRP buckets): FIRST
+    restrict the store side to buckets TOUCHED by the new batch (left-semi
+    against the batch's distinct key set — small and broadcastable), so
+    both the census and the candidate join scan O(rows in touched
+    buckets), never the whole store; THEN drop touched buckets with more
+    than ``cap`` carriers, with an exact logged census — never silent.
+
+    The census stays EXACT and eager on purpose (VERDICT r05 #6 asked for
+    one pattern or a reason): these operators are already eager (the store
+    commit is an action) and the census aggregation is bounded by the
+    touched-bucket restriction, unlike the corpus-pass LSH caps where an
+    extra exact pass is unaffordable and dedup.py's advisory accumulator
+    census is the right tool. r06 removes the former DOUBLE computation:
+    the hot keys the census job finds are REUSED as a collected literal
+    relation in the anti-join (previously the count() job and each
+    broadcast build each re-aggregated the store slice), and when no
+    bucket is hot — the common case — the anti-join disappears from the
+    plan entirely. Past ``_HOT_COLLECT_LIMIT`` hot buckets the literal
+    path falls back to a plan-side broadcast anti-join.
+
+    Only ``ab`` is filtered: every candidate join downstream is an INNER
+    join on ``keys``, so dropping the store/batch side's hot rows already
+    removes every pair a hot bucket would have generated — the former
+    ``nb`` anti-join was redundant work on the hot path. ``nb`` is
+    returned unchanged."""
     touched = nb.select(*keys).distinct()
     ab = ab.join(F.broadcast(touched), keys, "left_semi")
     if cap is None:
@@ -304,18 +338,28 @@ def exclude_hot_buckets(
         .where(F.col("__n") > int(cap))
         .select(*keys)
     )
-    n_hot = hot.count()
-    if n_hot:
+    hot_rows = hot.limit(_HOT_COLLECT_LIMIT + 1).collect()
+    if not hot_rows:
+        return nb, ab
+    if len(hot_rows) > _HOT_COLLECT_LIMIT:
         log.warning(
-            "%s: dropped %d hot buckets (> %d carriers across store+batch "
-            "among batch-touched buckets) from candidate generation — pairs "
-            "supported only by those buckets are not reported",
-            what, n_hot, int(cap),
+            "%s: more than %d hot buckets (> %d carriers) among "
+            "batch-touched buckets — dropping them via a plan-side "
+            "anti-join; pairs supported only by those buckets are not "
+            "reported",
+            what, _HOT_COLLECT_LIMIT, int(cap),
         )
-    return (
-        nb.join(F.broadcast(hot), keys, "left_anti"),
-        ab.join(F.broadcast(hot), keys, "left_anti"),
+        return nb, ab.join(F.broadcast(hot), keys, "left_anti")
+    log.warning(
+        "%s: dropped %d hot buckets (> %d carriers across store+batch "
+        "among batch-touched buckets) from candidate generation — pairs "
+        "supported only by those buckets are not reported",
+        what, len(hot_rows), int(cap),
     )
+    lit_hot = ab.sparkSession.createDataFrame(
+        hot_rows, ab.select(*keys).schema
+    )
+    return nb, ab.join(F.broadcast(lit_hot), keys, "left_anti")
 
 
 def minhash_sigs(
@@ -367,8 +411,10 @@ def incremental_minhash_pairs(
     n_bands: int = 21,
     shingle_k: int = 3,
     min_agreement: float = 0.9,
+    max_bucket_size: int | None = 10_000,
     commit: bool = True,
     run_id: int | None = None,
+    persist_new: bool = True,
 ) -> DataFrame:
     """One incremental dedup step → (a_id, b_id, sig_sim) near-dup pairs
     involving AT LEAST ONE new row (a_id < b_id, sig_sim = signature
@@ -387,12 +433,30 @@ def incremental_minhash_pairs(
     a batch reproduces the same pairs instead of self-matching its own
     earlier attempt. Ids must be committed in increasing order.
 
+    ID CONTRACT: ids must be unique across the store's whole history
+    (outside the run_id retry mechanism, which replaces its own run). A
+    re-ingested id would carry several sig rows through the verify joins
+    and emit duplicate — or, with changed text, conflicting — pairs; the
+    store is payload-free, so it cannot detect this itself.
+
+    ``max_bucket_size`` (VERDICT r05 #1): the band join is routed through
+    ``exclude_hot_buckets`` — the store side is first semi-restricted to
+    bands the batch touches, then bands with more than this many carriers
+    drop with the logged census. A boilerplate band key shared by 10^9
+    stored docs (the near-empty-doc/template band) otherwise turns one new
+    row into 10^9 candidate rows — the exact degeneracy the batch
+    ``lsh_candidate_pairs`` caps. ``None`` disables (small corpora /
+    exact-oracle runs only).
+
     Scale shape: signatures for the new batch only (no shuffle); ONE
-    band-key join of new-batch band rows (21x batch) against (store ∪
-    batch) band rows — broadcastable new side against a 10^12-row store;
-    verify joins pull sig arrays for candidate ids only. The store read is
-    a parquet scan of (id, sig) — document payloads are never stored,
-    never read, never shuffled.
+    band-key join of new-batch band rows (21x batch) against the
+    batch-touched, hot-capped slice of (store ∪ batch) band rows —
+    broadcastable new side against a 10^12-row store; verify joins are
+    PINNED broadcast-hash with the candidate side as build (r05 #2: AQE
+    falling back to sort-merge would shuffle the whole (id, sig) store
+    twice), so the store side streams through two scans and never
+    shuffles. The store read is a parquet scan of (id, sig) — document
+    payloads are never stored, never read, never shuffled.
     """
     if num_hashes % n_bands != 0:
         raise ValueError(f"n_bands {n_bands} must divide num_hashes {num_hashes}")
@@ -403,10 +467,14 @@ def incremental_minhash_pairs(
         lambda df: minhash_sigs(df, text_col, id_col, num_hashes, shingle_k),
         commit,
         run_id,
+        persist_new,
     )
 
     nb = _band_rows(new_sigs, num_hashes, n_bands).withColumnRenamed("id", "n_id")
     ab = _band_rows(all_sigs, num_hashes, n_bands).withColumnRenamed("id", "o_id")
+    nb, ab = exclude_hot_buckets(
+        nb, ab, ["band", "bh"], max_bucket_size, "incremental_minhash_pairs"
+    )
     cand = (
         nb.join(ab, ["band", "bh"])
         .where(F.col("n_id") != F.col("o_id"))
@@ -417,8 +485,14 @@ def incremental_minhash_pairs(
         .distinct()
     )
     sv = all_sigs.select(F.col("id"), F.col("sig"))
+    # candidate side pinned as the broadcast build of BOTH verify joins:
+    # the store sig table only ever streams (join 1's output is again
+    # candidate-bounded, so re-broadcasting it is bounded too)
+    j1 = F.broadcast(cand).join(
+        sv.select(F.col("id").alias("a_id"), F.col("sig").alias("__sa")), "a_id"
+    )
     verified = (
-        cand.join(sv.select(F.col("id").alias("a_id"), F.col("sig").alias("__sa")), "a_id")
+        F.broadcast(j1)
         .join(sv.select(F.col("id").alias("b_id"), F.col("sig").alias("__sb")), "b_id")
         .withColumn(
             "sig_sim", sig_agreement(F.col("__sa"), F.col("__sb"), num_hashes)

@@ -177,13 +177,22 @@ def embedding_near_duplicates(
 
 
 def cosine_verify_pairs(
-    cand: DataFrame, vectors: DataFrame, threshold: float
+    cand: DataFrame, vectors: DataFrame, threshold: float,
+    broadcast_cand: bool = False,
 ) -> DataFrame:
     """Exact-cosine verify shared by the batch and incremental embedding
     dedups (review r05: the verify shape was drifting into copies):
     ``cand (a_id, b_id)`` joined against ``vectors (id, v, nrm)`` on both
     sides → (a_id, b_id, cos) with cos >= threshold, compared UNROUNDED
-    and rounded to 4 decimals for output."""
+    and rounded to 4 decimals for output.
+
+    ``broadcast_cand=True`` (the incremental-store path, VERDICT r05 #2)
+    PINS the candidate side as the broadcast build of both joins — join
+    1's output is again candidate-bounded, so re-broadcasting it is
+    bounded too — so a huge ``vectors`` table (the store) only ever
+    streams; an AQE fallback to sort-merge would shuffle it twice. Batch
+    callers leave it False: their vector table is the persisted in-memory
+    projection, and AQE's choice is already right."""
     va = vectors.select(
         F.col("id").alias("a_id"), F.col("v").alias("__va"), F.col("nrm").alias("__na")
     )
@@ -191,10 +200,10 @@ def cosine_verify_pairs(
         F.col("id").alias("b_id"), F.col("v").alias("__vb"), F.col("nrm").alias("__nb")
     )
     cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    j1 = (F.broadcast(cand) if broadcast_cand else cand).join(va, "a_id")
+    joined = (F.broadcast(j1) if broadcast_cand else j1).join(vb, "b_id")
     return (
-        cand.join(va, "a_id")
-        .join(vb, "b_id")
-        .withColumn("__cos", cos)
+        joined.withColumn("__cos", cos)
         .where(F.col("__cos") >= F.lit(float(threshold)))
         .select("a_id", "b_id", F.round("__cos", 4).alias("cos"))
     )
@@ -213,6 +222,7 @@ def incremental_embedding_neardup(
     max_bucket_size: int | None = 10_000,
     commit: bool = True,
     run_id: int | None = None,
+    persist_new: bool = True,
 ) -> DataFrame:
     """Cross-run incremental EMBEDDING near-dup — the vector twin of the
     minhash/audio fingerprint stores (operators/dedup_state.py scaffold:
@@ -249,6 +259,7 @@ def incremental_embedding_neardup(
         .withColumn("nrm", l2_norm(F.col("v"))),
         commit,
         run_id,
+        persist_new,
     )
     nb = new_v.select(
         F.col("id").alias("n_id"), F.posexplode("bkts").alias("tbl", "bkt")
@@ -268,7 +279,9 @@ def incremental_embedding_neardup(
         )
         .distinct()
     )
-    return cosine_verify_pairs(cand, all_v.select("id", "v", "nrm"), threshold)
+    return cosine_verify_pairs(
+        cand, all_v.select("id", "v", "nrm"), threshold, broadcast_cand=True
+    )
 
 
 def _centroid_assign_udf(centroids: np.ndarray, n_probe: int):
