@@ -42,7 +42,7 @@ LINEITEM_CATALOG = {
 
 
 def q_lineitem_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
+    li = load_table(spark, sf_dir, "lineitem", spread=True).withColumn(
         "li_key", F.concat_ws("-", "l_orderkey", "l_linenumber")
     )
     res = validate(li, parse_catalog(LINEITEM_CATALOG), key_col="li_key")
@@ -73,7 +73,7 @@ FROM li WHERE l_returnflag = 'R' AND l_linestatus <> 'F'
 
 
 def q_lineitem_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
+    li = load_table(spark, sf_dir, "lineitem", spread=True).withColumn(
         "li_key", F.concat_ws("-", "l_orderkey", "l_linenumber")
     )
     res = validate(li, parse_catalog(LINEITEM_CATALOG), key_col="li_key")

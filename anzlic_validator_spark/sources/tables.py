@@ -32,9 +32,27 @@ TESTDATA_TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One driver-provided test table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """One driver-provided test table (TESTDATA.md).
+
+    ``spread=True``: round-robin repartition to the session's default
+    parallelism. The driver tables are written as ONE parquet file with ONE
+    row group, and a row group is the atomic scan split — so every scan,
+    and everything Catalyst fuses into it (rule projection + explode,
+    partial aggregation, shingling), runs on a single core no matter the
+    cluster (optimization guide §2.5 "input skew: one huge unsplittable
+    file — repartition immediately after the read"). Callers whose
+    downstream work is per-row compute opt in; trivial aggregations and
+    layout-sensitive consumers (MLlib k-means|| init) leave it off. A
+    multi-file production table gets its parallelism from the scan itself
+    and needs no spread — this mirrors the corpus builders'
+    defaultParallelism repartition (plans/demo_ml.py)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
