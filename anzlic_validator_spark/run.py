@@ -202,7 +202,25 @@ def run_validation(
         .partitionBy("bucket")
         .parquet(f"{output}/verdicts")
     )
-    metrics_rows = result.partition_summary(n_buckets=n_buckets).collect()
+    # per-bucket metrics from the verdicts JUST WRITTEN (r06, guide §2.4):
+    # one verdict row per distinct record key with its bucket and violation
+    # count, so rows/failed_rows/violations fold out of a tiny parquet scan
+    # — the former partition_summary() re-scanned the input keys AND
+    # re-aggregated the persisted violations, then joined. Restricted to
+    # pending buckets: on a resume, completed buckets' verdicts survive on
+    # disk but were not validated by THIS run.
+    metrics_rows = (
+        read_verdicts(spark, output)
+        .where(F.col("bucket").isin(pending))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((~F.col("passed")).cast("long")).alias("failed_rows"),
+            F.sum("n_violations").alias("violations"),
+        )
+        .withColumn("passed", F.col("failed_rows") == 0)
+        .collect()
+    )
     table_violations = int(global_viol.count()) if global_viol is not None else 0
     result.violations_ranked.unpersist()
     if global_viol is not None:
