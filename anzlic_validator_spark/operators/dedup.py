@@ -42,7 +42,9 @@ def _census_message(what: str, n_buckets: int, cap: int, n_rows: int) -> str:
     )
 
 
-def _poll_bucket_census(acc_buckets, acc_rows, cap: int, what: str, state: dict) -> None:
+def _poll_bucket_census(
+    acc_buckets, acc_rows, cap: int, what: str, state: dict, msg_fn=_census_message
+) -> None:
     """Daemon-thread target: polls the census accumulators and logs once the
     drop count is nonzero and stable. Accumulators (not ``observe``) on
     purpose: AQE's empty-relation propagation excises CollectMetrics nodes
@@ -66,7 +68,7 @@ def _poll_bucket_census(acc_buckets, acc_rows, cap: int, what: str, state: dict)
         if cur and cur == last:
             state["logged"] = True
             state["value"] = cur
-            log.warning(_census_message(what, cur, cap, int(acc_rows.value)))
+            log.warning(msg_fn(what, cur, cap, int(acc_rows.value)))
             return
         last = cur
 
@@ -82,7 +84,7 @@ def _flush_census_at_exit() -> None:
     # re-logs even already-logged censuses whose accumulators kept growing
     # after the stability window (a stage that stalled >10s mid-tally logs a
     # partial count; the final value at exit corrects it — ADVICE r03)
-    for acc_b, acc_r, cap, what, state in _CENSUS_PENDING:
+    for acc_b, acc_r, cap, what, state, msg_fn in _CENSUS_PENDING:
         try:
             cur = int(round(float(acc_b.value)))
             rows = int(acc_r.value)
@@ -91,24 +93,70 @@ def _flush_census_at_exit() -> None:
         if cur and cur != state.get("value", 0):
             state["logged"] = True
             state["value"] = cur
-            log.warning(_census_message(what, cur, cap, rows))
+            log.warning(msg_fn(what, cur, cap, rows))
 
 
-def _arm_census(acc_buckets, acc_rows, cap: int, what: str) -> None:
+def _arm_census(acc_buckets, acc_rows, cap: int, what: str, msg_fn=_census_message) -> None:
     global _CENSUS_ATEXIT_ARMED
     import atexit
     import threading
 
     state = {"logged": False, "value": 0}
-    _CENSUS_PENDING.append((acc_buckets, acc_rows, cap, what, state))
+    _CENSUS_PENDING.append((acc_buckets, acc_rows, cap, what, state, msg_fn))
     if not _CENSUS_ATEXIT_ARMED:
         atexit.register(_flush_census_at_exit)
         _CENSUS_ATEXIT_ARMED = True
     threading.Thread(
         target=_poll_bucket_census,
-        args=(acc_buckets, acc_rows, cap, what, state),
+        args=(acc_buckets, acc_rows, cap, what, state, msg_fn),
         daemon=True,
     ).start()
+
+
+
+def drop_hot_buckets(
+    df: DataFrame,
+    bucket_cols: list[str],
+    cap: int,
+    what: str,
+    msg_fn=_census_message,
+) -> DataFrame:
+    """Drop every row whose bucket holds more than ``cap`` rows, with the
+    LAZY advisory accumulator census (never an eager job, never silent) —
+    the one hot-bucket pattern shared by the batch LSH caps and the
+    incremental stores' ``exclude_hot_buckets`` (VERDICT r05 #6).
+
+    Shape: per-bucket sizes from a map-side-combined count aggregate (a hot
+    key ships one partial-count row per map partition, never O(degree)),
+    hot buckets tallied into accumulators by a vectorized pandas UDF while
+    the real query's own job builds the anti-join side (one row per HOT
+    BUCKET crosses into Python), then a PINNED broadcast anti-join — planned
+    cold, the planner otherwise falls to a sort-merge anti join that
+    shuffles and sorts the full stream twice (observed, Spark 4.1). The hot
+    list is bounded by total_rows/cap and is empty on healthy corpora;
+    corpora extreme enough to overflow a broadcast should raise the cap."""
+    sc = df.sparkSession.sparkContext
+    acc_buckets = sc.accumulator(0.0)
+    acc_rows = sc.accumulator(0)
+
+    @F.pandas_udf(T.BooleanType())
+    def tally_hot(bsz: pd.Series) -> pd.Series:
+        # bucket count = row count, dropped-row count = sum of bucket sizes;
+        # returns all-True so the hot rows stay in the anti-join relation
+        if len(bsz):
+            acc_buckets.add(float(len(bsz)))
+            acc_rows.add(int(bsz.sum()))
+        return pd.Series(np.ones(len(bsz), dtype=bool))
+
+    hot = (
+        df.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .where(F.col("__bsz") > int(cap))
+        .where(tally_hot(F.col("__bsz")))
+        .select(*bucket_cols)
+    )
+    _arm_census(acc_buckets, acc_rows, int(cap), what, msg_fn)
+    return df.join(F.broadcast(hot), on=bucket_cols, how="left_anti")
 
 
 def lsh_candidate_pairs(
@@ -179,36 +227,8 @@ def lsh_candidate_pairs(
             return base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
         return base.distinct()
 
-    sc = buckets.sparkSession.sparkContext
-    acc_buckets = sc.accumulator(0.0)
-    acc_rows = sc.accumulator(0)
-    cap = int(max_bucket_size)
-
-    @F.pandas_udf(T.BooleanType())
-    def tally_hot(bsz: pd.Series) -> pd.Series:
-        # one row per HOT BUCKET (not per dropped row): bucket count is the
-        # row count, dropped-row count the sum of bucket sizes. Returns
-        # all-True so the hot rows stay in the anti-join relation.
-        if len(bsz):
-            acc_buckets.add(float(len(bsz)))
-            acc_rows.add(int(bsz.sum()))
-        return pd.Series(np.ones(len(bsz), dtype=bool))
-
-    hot = (
-        stream.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("__bsz"))
-        .where(F.col("__bsz") > cap)
-        .where(tally_hot(F.col("__bsz")))
-        .select(*bucket_cols)
-    )
-    # broadcast pinned: planned cold, the hot side's size is unknown and the
-    # planner falls to a sort-merge anti join — shuffling AND sorting the
-    # full bucket stream twice (observed on Spark 4.1). The hot list is
-    # bounded by total_rows/cap (and is empty/tiny on healthy corpora);
-    # corpora extreme enough to overflow a broadcast should raise the cap.
-    kept = stream.join(F.broadcast(hot), on=bucket_cols, how="left_anti")
+    kept = drop_hot_buckets(stream, bucket_cols, int(max_bucket_size), what)
     grouped = kept.groupBy(*bucket_cols).agg(F.collect_list("__p").alias("__ms"))
-    _arm_census(acc_buckets, acc_rows, cap, what)
 
     def ordered_pair(x, y):
         return F.when(

@@ -289,10 +289,13 @@ def incremental_fingerprints(
     return new_fps, all_fps
 
 
-# hot lists above this size abandon the collected-literal anti-join for the
-# plan-side broadcast anti-join (a pathological batch where most touched
-# buckets are hot must not pull them all to the driver)
-_HOT_COLLECT_LIMIT = 100_000
+def _hot_bucket_message(what: str, n_buckets: int, cap: int, n_rows: int) -> str:
+    return (
+        f"{what}: dropped {n_buckets} hot buckets (> {cap} carriers across "
+        f"store+batch among batch-touched buckets, {n_rows} bucket-rows) "
+        "from candidate generation — pairs supported only by those buckets "
+        "are not reported (ADVISORY count: retries/speculation inflate it)"
+    )
 
 
 def exclude_hot_buckets(
@@ -308,58 +311,25 @@ def exclude_hot_buckets(
     against the batch's distinct key set — small and broadcastable), so
     both the census and the candidate join scan O(rows in touched
     buckets), never the whole store; THEN drop touched buckets with more
-    than ``cap`` carriers, with an exact logged census — never silent.
-
-    The census stays EXACT and eager on purpose (VERDICT r05 #6 asked for
-    one pattern or a reason): these operators are already eager (the store
-    commit is an action) and the census aggregation is bounded by the
-    touched-bucket restriction, unlike the corpus-pass LSH caps where an
-    extra exact pass is unaffordable and dedup.py's advisory accumulator
-    census is the right tool. r06 removes the former DOUBLE computation:
-    the hot keys the census job finds are REUSED as a collected literal
-    relation in the anti-join (previously the count() job and each
-    broadcast build each re-aggregated the store slice), and when no
-    bucket is hot — the common case — the anti-join disappears from the
-    plan entirely. Past ``_HOT_COLLECT_LIMIT`` hot buckets the literal
-    path falls back to a plan-side broadcast anti-join.
+    than ``cap`` carriers via the ONE hot-bucket pattern shared with the
+    batch LSH caps (``dedup.drop_hot_buckets``, VERDICT r05 #6): a
+    map-side-combined count aggregate + pinned broadcast anti-join, with
+    the LAZY advisory accumulator census — no eager job at
+    plan-construction time (the r05 version ran an exact ``count()`` job
+    per incremental step and then re-computed the hot set inside each
+    broadcast build).
 
     Only ``ab`` is filtered: every candidate join downstream is an INNER
     join on ``keys``, so dropping the store/batch side's hot rows already
-    removes every pair a hot bucket would have generated — the former
-    ``nb`` anti-join was redundant work on the hot path. ``nb`` is
+    removes every pair a hot bucket would have generated. ``nb`` is
     returned unchanged."""
+    from anzlic_validator_spark.operators.dedup import drop_hot_buckets
+
     touched = nb.select(*keys).distinct()
     ab = ab.join(F.broadcast(touched), keys, "left_semi")
     if cap is None:
         return nb, ab
-    hot = (
-        ab.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > int(cap))
-        .select(*keys)
-    )
-    hot_rows = hot.limit(_HOT_COLLECT_LIMIT + 1).collect()
-    if not hot_rows:
-        return nb, ab
-    if len(hot_rows) > _HOT_COLLECT_LIMIT:
-        log.warning(
-            "%s: more than %d hot buckets (> %d carriers) among "
-            "batch-touched buckets — dropping them via a plan-side "
-            "anti-join; pairs supported only by those buckets are not "
-            "reported",
-            what, _HOT_COLLECT_LIMIT, int(cap),
-        )
-        return nb, ab.join(F.broadcast(hot), keys, "left_anti")
-    log.warning(
-        "%s: dropped %d hot buckets (> %d carriers across store+batch "
-        "among batch-touched buckets) from candidate generation — pairs "
-        "supported only by those buckets are not reported",
-        what, len(hot_rows), int(cap),
-    )
-    lit_hot = ab.sparkSession.createDataFrame(
-        hot_rows, ab.select(*keys).schema
-    )
-    return nb, ab.join(F.broadcast(lit_hot), keys, "left_anti")
+    return nb, drop_hot_buckets(ab, keys, int(cap), what, _hot_bucket_message)
 
 
 def minhash_sigs(

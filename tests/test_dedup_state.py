@@ -255,10 +255,12 @@ def test_incremental_audio_neardup_store(spark, tmp_path):
     assert got == [("a0", "b0"), ("a0", "c0"), ("b0", "c0")]
     assert all(r.ber <= 0.25 for r in p2.collect())
     # the incremental plan decodes only the new batch: the store side is a
-    # parquet scan (exactly one ArrowEvalPython would appear for a
-    # commit=False in-plan fingerprint; after commit there are none)
+    # parquet scan. The lazy hot-bucket census tally is the ONLY Python in
+    # the plan (r06) — any other ArrowEvalPython would be a decode re-run
     plan = p2._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in plan and "Scan parquet" in plan
+    py_nodes = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln]
+    assert all("tally_hot" in ln for ln in py_nodes)
+    assert "Scan parquet" in plan
     # kind isolation: the content-fp store API refuses this store
     with pytest.raises(ValueError, match="incompatible"):
         incremental_audio_dedup(run2, store)
@@ -442,7 +444,12 @@ def test_incremental_embedding_neardup_store(spark, tmp_path):
     assert set(got) == {(2, 100), (2, 200), (100, 200)}
     assert all(c == 1.0 for c in got.values())
     plan = p2._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in plan and "Scan parquet" in plan
+    # census tally is the only Python node (r06); in particular the SRP
+    # hashing UDF must never run over the store
+    py_nodes = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln]
+    assert all("tally_hot" in ln for ln in py_nodes)
+    assert "srp_buckets" not in plan
+    assert "Scan parquet" in plan
     # SRP param drift against an existing store raises
     with pytest.raises(ValueError, match="incompatible"):
         incremental_embedding_neardup(run2, store, dim=16, bits=4)
@@ -476,14 +483,21 @@ def test_exclude_hot_buckets_census_and_drop(spark, caplog):
     run1 = df([(i, base_v * (1.0 + 0.001 * i)) for i in range(4)])
     run2 = df([(100, base_v * 1.5)])
     with caplog.at_level(logging.WARNING,
-                         logger="anzlic_validator_spark.operators.dedup_state"):
+                         logger="anzlic_validator_spark.operators.dedup"):
         import tempfile
+        import time as _time
 
         with tempfile.TemporaryDirectory() as d1:
             s = os.path.join(d1, "s")
             incremental_embedding_neardup(run1, s, dim=16, max_bucket_size=3)
             out = incremental_embedding_neardup(run2, s, dim=16, max_bucket_size=3)
             assert out.count() == 0  # every shared bucket is hot -> dropped
+            # lazy-advisory census: wait for the poll thread's stabilized log
+            deadline = _time.monotonic() + 15
+            while _time.monotonic() < deadline:
+                if any("hot buckets" in r.message for r in caplog.records):
+                    break
+                _time.sleep(0.1)
         with tempfile.TemporaryDirectory() as d2:
             s = os.path.join(d2, "s")
             incremental_embedding_neardup(run1, s, dim=16, max_bucket_size=100)
@@ -511,7 +525,7 @@ def test_incremental_minhash_hot_band_cap(spark, tmp_path, caplog):
     # new batch: one more copy of the hot doc + one copy of a non-hot doc
     new = _docs(spark, [(900, _vocab_doc(0)), (901, _vocab_doc(50))])
     with caplog.at_level(
-        logging.WARNING, logger="anzlic_validator_spark.operators.dedup_state"
+        logging.WARNING, logger="anzlic_validator_spark.operators.dedup"
     ):
         pairs = sorted(
             (r.a_id, r.b_id)
@@ -519,6 +533,15 @@ def test_incremental_minhash_hot_band_cap(spark, tmp_path, caplog):
                 new, store, "text", "doc_id", max_bucket_size=5
             ).collect()
         )
+        # the census is lazy-advisory (accumulators + poll thread): wait for
+        # the stabilized log, as test_bucket_cap_census_is_lazy does
+        import time as _time
+
+        deadline = _time.monotonic() + 15
+        while _time.monotonic() < deadline:
+            if any("hot buckets" in r.message for r in caplog.records):
+                break
+            _time.sleep(0.1)
     # hot bands (9 carriers > cap 5) dropped -> no 900 pairs; the non-hot
     # copy pair (100, 901) survives
     assert pairs == [(100, 901)]
