@@ -238,11 +238,30 @@ def validate(
     missing = [c for r in catalog.row_rules for c in _rule_columns(r) if c not in df.columns]
     if missing:
         raise InvalidConfigException(f"catalog references unknown columns: {sorted(set(missing))}")
+    from anzlic_validator_spark.operators.referential import (
+        referential_violations_grouped,
+        rule_join_key,
+    )
+
     parts = [single_scan_violations(df, catalog, key_col, refs)]
+    # non-broadcast referential rules sharing (authority, join key, ref key)
+    # are evaluated through ONE pruned scan + ONE authority join (r06, guide
+    # §2.4) instead of one join per rule
+    ref_groups: dict[tuple, list[Rule]] = {}
     for rule in catalog.dataset_rules:
         if _fuse_in_scan(rule):
             continue  # already folded into the single-scan pass
+        if rule.type in ("referential", "referential_mapped"):
+            gk = (
+                str(rule.get("ref_table")),
+                rule_join_key(rule, key_col),
+                str(rule.get("ref_key")),
+            )
+            ref_groups.setdefault(gk, []).append(rule)
+            continue
         parts.append(dataset_rule_violations(df, rule, key_col, refs))
+    for group in ref_groups.values():
+        parts.append(referential_violations_grouped(df, group, key_col, refs))
     violations = parts[0]
     for p in parts[1:]:
         violations = violations.unionByName(p)
