@@ -378,6 +378,42 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> list[Column]:
     ]
 
 
+def minhash_sig_array(shingles: Column, num_hashes: int = 64) -> Column:
+    """The same signature as ``minhash_signature`` as ONE array<long>
+    column: sig[i] = min over shingles of xxhash64(shingle, i), expressed
+    as a single nested-lambda transform (the hash index is the OUTER
+    lambda's variable — ``xxhash64(s, i)`` with an int lambda variable
+    hashes exactly like ``xxhash64(s, lit(i))``, verified bit-identical).
+
+    Why (r06, guide §1.2/§7.2): the per-column form materializes
+    ``num_hashes`` separate expressions — 63 lambdas to analyze, optimize
+    and code-generate PER PLAN, a fixed multi-second cost for every
+    minhash-family query at any data size. One nested expression does the
+    identical per-row arithmetic with a constant-size plan."""
+    idx = F.sequence(F.lit(0), F.lit(int(num_hashes) - 1))
+    return F.transform(
+        idx, lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i)))
+    )
+
+
+def band_keys(sig: Column, num_hashes: int, n_bands: int) -> Column:
+    """array<struct<band:int, bh:long>>: one LSH band key per band, bh =
+    xxhash64 over the band's signature slice — ONE nested transform instead
+    of ``n_bands`` separate struct expressions (same plan-size rationale as
+    minhash_sig_array; values identical to the per-struct form). Shared by
+    the batch LSH and the incremental store's band rows."""
+    r = num_hashes // n_bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_bands) - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                *[F.element_at(sig, b * r + i + 1) for i in range(r)]
+            ).alias("bh"),
+        ),
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -413,7 +449,6 @@ def minhash_near_duplicates(
     0.6 threshold while pruning j≈0.1 pairs to ~2% candidate rate; raise r
     (and num_hashes) for higher thresholds at bigger scale.
     """
-    rows_per_band = num_hashes // n_bands
     base = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
     ).select("id", word_shingles_from_tokens(F.col("__toks"), shingle_k).alias("sh"))
@@ -421,19 +456,15 @@ def minhash_near_duplicates(
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                "bh"
-            ),
-        )
-        for b in range(n_bands)
-    ]
-    buckets = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", "bb.band", "bb.bh"
-    )
+    # signature as ONE array expression and band keys as ONE nested
+    # transform (r06): the former 63 mh_i columns + 21 band structs were a
+    # constant-size-per-row computation carried by an O(num_hashes) plan —
+    # analysis + codegen paid for every expression on every run. Values are
+    # bit-identical (see minhash_sig_array).
+    sig = base.select("id", minhash_sig_array(F.col("sh"), num_hashes).alias("__sig"))
+    buckets = sig.select(
+        "id", F.explode(band_keys(F.col("__sig"), num_hashes, n_bands)).alias("bb")
+    ).select("id", "bb.band", "bb.bh")
     candidates = lsh_candidate_pairs(
         buckets, ["band", "bh"], ["id"], max_bucket_size, "minhash_lsh"
     ).select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))

@@ -51,7 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from anzlic_validator_spark.operators.dedup import (
-    minhash_signature,
+    band_keys,
+    minhash_sig_array,
     word_shingles_from_tokens,
 )
 
@@ -342,27 +343,18 @@ def minhash_sigs(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
     ).select("id", word_shingles_from_tokens(F.col("__toks"), shingle_k).alias("__sh"))
     return base.select(
-        "id", F.array(*minhash_signature(F.col("__sh"), num_hashes)).alias("sig")
+        "id", minhash_sig_array(F.col("__sh"), num_hashes).alias("sig")
     )
 
 
 def _band_rows(sigs: DataFrame, num_hashes: int, n_bands: int) -> DataFrame:
     """(id, band, bh): one row per LSH band, key = xxhash64 of the band's
     signature slice — derived from the STORED sig array, so old rows bucket
-    without touching their text."""
-    r = num_hashes // n_bands
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.element_at("sig", b * r + i + 1) for i in range(r)]
-            ).alias("bh"),
-        )
-        for b in range(n_bands)
-    ]
-    return sigs.select("id", F.explode(F.array(*bands)).alias("bb")).select(
-        "id", "bb.band", "bb.bh"
-    )
+    without touching their text. Band keys via the shared nested-transform
+    expression (dedup.band_keys — one expression, not n_bands structs)."""
+    return sigs.select(
+        "id", F.explode(band_keys(F.col("sig"), num_hashes, n_bands)).alias("bb")
+    ).select("id", "bb.band", "bb.bh")
 
 
 def sig_agreement(a, b, num_hashes: int):
