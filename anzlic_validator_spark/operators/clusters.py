@@ -107,10 +107,20 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)  # reused every round
     )
+    # initialization folds the FIRST hash-min half-round in (r06, guide
+    # §2.4): with identity labels, round 1's neighbour-min is just
+    # min(neighbour ids), so label₀ = least(id, min(dst)) comes out of the
+    # same single aggregation that used to compute the bare distinct id
+    # set — one round's joins/checkpoints saved on the dense clique/star
+    # graphs dedup produces (they reach the fixpoint at initialization and
+    # the loop's first round is the convergence proof).
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__md"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__md")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     # the previous round's checkpointed label table, freed as soon as the
