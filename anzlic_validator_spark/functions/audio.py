@@ -232,15 +232,17 @@ def make_decode_check_udf(ref_seed: int | None):
         srs: list[int | None] = [None] * n_rows
         counts: list[int | None] = [None] * n_rows
         snrs: list[float | None] = [None] * n_rows
-        for j in range(n_rows):
-            pcm, sr_emb, err = decode(b.iloc[j], codec.iloc[j], registry)
+        # zip over the series (values iteration) — per-element .iloc paid a
+        # pandas positional-indexing call 4x per row (r06 cleanup)
+        for j, (bb, cc, ss, cid) in enumerate(zip(b, codec, sr_hz, clip_id)):
+            pcm, sr_emb, err = decode(bb, cc, registry)
             errs[j], srs[j] = err, sr_emb
             if pcm is None:
                 continue
             counts[j] = int(pcm.size)
             if ref_seed is not None:
-                m = _CLIP_ID_NUM.search(str(clip_id.iloc[j]) or "")
-                row_sr = sr_emb if sr_emb else sr_hz.iloc[j]
+                m = _CLIP_ID_NUM.search(str(cid) or "")
+                row_sr = sr_emb if sr_emb else ss
                 if m and row_sr and not pd.isna(row_sr):
                     ref = ref_signal(int(m.group(1)), int(row_sr), pcm.size, ref_seed)
                     snrs[j] = snr_db(ref, pcm)
