@@ -546,7 +546,8 @@ def incremental_audio_neardup(
         F.col("key").alias("o_key"), F.explode("frames").alias("fp")
     )
     nh, ah = exclude_hot_buckets(
-        nh, ah, ["fp"], max_bucket_size, "incremental_audio_neardup"
+        nh, ah, ["fp"], max_bucket_size, "incremental_audio_neardup",
+        restrict_touched=all_fps is not new_fps,
     )
     cand = (
         nh.join(ah, "fp")

@@ -305,6 +305,7 @@ def exclude_hot_buckets(
     keys: list[str],
     cap: int | None,
     what: str,
+    restrict_touched: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared hot-bucket handling for the incremental candidate joins
     (text minhash bands, audio halves, embedding SRP buckets): FIRST
@@ -323,11 +324,19 @@ def exclude_hot_buckets(
     Only ``ab`` is filtered: every candidate join downstream is an INNER
     join on ``keys``, so dropping the store/batch side's hot rows already
     removes every pair a hot bucket would have generated. ``nb`` is
-    returned unchanged."""
+    returned unchanged.
+
+    ``restrict_touched=False`` skips the semi-restriction when the caller
+    knows ``ab`` and ``nb`` derive from the SAME batch (an empty store —
+    every first run): every ab bucket is then touched by construction and
+    the semi-join would only add plan weight. Callers detect it as
+    ``all_fps is new_fps`` (incremental_fingerprints returns the identical
+    object when there are no prior runs)."""
     from anzlic_validator_spark.operators.dedup import drop_hot_buckets
 
-    touched = nb.select(*keys).distinct()
-    ab = ab.join(F.broadcast(touched), keys, "left_semi")
+    if restrict_touched:
+        touched = nb.select(*keys).distinct()
+        ab = ab.join(F.broadcast(touched), keys, "left_semi")
     if cap is None:
         return nb, ab
     return nb, drop_hot_buckets(ab, keys, int(cap), what, _hot_bucket_message)
@@ -435,7 +444,8 @@ def incremental_minhash_pairs(
     nb = _band_rows(new_sigs, num_hashes, n_bands).withColumnRenamed("id", "n_id")
     ab = _band_rows(all_sigs, num_hashes, n_bands).withColumnRenamed("id", "o_id")
     nb, ab = exclude_hot_buckets(
-        nb, ab, ["band", "bh"], max_bucket_size, "incremental_minhash_pairs"
+        nb, ab, ["band", "bh"], max_bucket_size, "incremental_minhash_pairs",
+        restrict_touched=all_sigs is not new_sigs,
     )
     cand = (
         nb.join(ab, ["band", "bh"])

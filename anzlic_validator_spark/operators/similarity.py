@@ -268,7 +268,8 @@ def incremental_embedding_neardup(
         F.col("id").alias("o_id"), F.posexplode("bkts").alias("tbl", "bkt")
     )
     nb, ab = exclude_hot_buckets(
-        nb, ab, ["tbl", "bkt"], max_bucket_size, "incremental_embedding_neardup"
+        nb, ab, ["tbl", "bkt"], max_bucket_size, "incremental_embedding_neardup",
+        restrict_touched=all_v is not new_v,
     )
     cand = (
         nb.join(ab, ["tbl", "bkt"])
